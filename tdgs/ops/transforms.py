@@ -1,0 +1,176 @@
+"""Rigid/affine transform math for 3D Gaussians (pure jnp).
+
+Replaces the reference's quat/scale→covariance CUDA op and world→camera
+device helpers (reference: gsplat/cuda/csrc/QuatScaleToCovarCUDA.cu,
+gsplat/cuda/include/Utils.cuh:18-126). All functions broadcast over arbitrary
+leading batch dims and are differentiable via JAX autodiff — the reference's
+hand-written VJP kernels are unnecessary on TPU.
+
+Quaternion convention: wxyz (matching the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+
+def quat_normalize(quats: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """L2-normalize quaternions along the last axis."""
+    norm = jnp.linalg.norm(quats, axis=-1, keepdims=True)
+    return quats / jnp.maximum(norm, eps)
+
+
+def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
+    """Convert (unnormalized) wxyz quaternions [..., 4] to rotation matrices [..., 3, 3]."""
+    quats = quat_normalize(quats)
+    w, x, y, z = jnp.moveaxis(quats, -1, 0)
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r01 = 2.0 * (x * y - w * z)
+    r02 = 2.0 * (x * z + w * y)
+    r10 = 2.0 * (x * y + w * z)
+    r11 = 1.0 - 2.0 * (x * x + z * z)
+    r12 = 2.0 * (y * z - w * x)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    rows = jnp.stack(
+        [
+            jnp.stack([r00, r01, r02], axis=-1),
+            jnp.stack([r10, r11, r12], axis=-1),
+            jnp.stack([r20, r21, r22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return rows
+
+
+def rotmat_to_quat(rotmat: jnp.ndarray) -> jnp.ndarray:
+    """Convert rotation matrices [..., 3, 3] to wxyz quaternions [..., 4].
+
+    Uses the branch-free Shepperd-style construction: build all four candidate
+    quaternions and select the numerically best one (largest diagonal term).
+    """
+    m = rotmat
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tr = m00 + m11 + m22
+
+    # Four candidates, each valid when its pivot is the largest.
+    qw = jnp.stack([1.0 + tr, 1.0 + m00 - m11 - m22,
+                    1.0 - m00 + m11 - m22, 1.0 - m00 - m11 + m22], axis=-1)
+    qw = jnp.sqrt(jnp.maximum(qw, 1e-12)) * 0.5
+    c0 = jnp.stack([qw[..., 0], (m21 - m12) / (4 * qw[..., 0]),
+                    (m02 - m20) / (4 * qw[..., 0]), (m10 - m01) / (4 * qw[..., 0])], axis=-1)
+    c1 = jnp.stack([(m21 - m12) / (4 * qw[..., 1]), qw[..., 1],
+                    (m01 + m10) / (4 * qw[..., 1]), (m02 + m20) / (4 * qw[..., 1])], axis=-1)
+    c2 = jnp.stack([(m02 - m20) / (4 * qw[..., 2]), (m01 + m10) / (4 * qw[..., 2]),
+                    qw[..., 2], (m12 + m21) / (4 * qw[..., 2])], axis=-1)
+    c3 = jnp.stack([(m10 - m01) / (4 * qw[..., 3]), (m02 + m20) / (4 * qw[..., 3]),
+                    (m12 + m21) / (4 * qw[..., 3]), qw[..., 3]], axis=-1)
+
+    pivots = jnp.stack([tr, m00, m11, m22], axis=-1)
+    best = jnp.argmax(pivots, axis=-1)
+    cands = jnp.stack([c0, c1, c2, c3], axis=-2)  # [..., 4 candidates, 4]
+    q = jnp.take_along_axis(cands, best[..., None, None].astype(jnp.int32), axis=-2)
+    q = q[..., 0, :]
+    return quat_normalize(q)
+
+
+def quat_mul(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product of wxyz quaternions (broadcasts).
+
+    Matches the rigid-body pipeline's quaternion composition
+    (reference: main.py:173-181).
+    """
+    w1, x1, y1, z1 = jnp.moveaxis(q1, -1, 0)
+    w2, x2, y2, z2 = jnp.moveaxis(q2, -1, 0)
+    return jnp.stack(
+        [
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+        ],
+        axis=-1,
+    )
+
+
+def quat_rotate(q: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate vectors v [..., 3] by wxyz quaternions q [..., 4] (broadcasts).
+
+    Uses the expanded Rodrigues form: v' = v + 2 w (u × v) + 2 u × (u × v).
+    """
+    q = quat_normalize(q)
+    w = q[..., :1]
+    u = q[..., 1:]
+    uv = jnp.cross(u, v)
+    uuv = jnp.cross(u, uv)
+    return v + 2.0 * (w * uv + uuv)
+
+
+def quat_scale_to_covar_preci(
+    quats: jnp.ndarray,  # [..., 4]
+    scales: jnp.ndarray,  # [..., 3]
+    compute_covar: bool = True,
+    compute_preci: bool = True,
+    triu: bool = False,
+) -> Tuple[Optional[jnp.ndarray], Optional[jnp.ndarray]]:
+    """Covariance Σ = R S Sᵀ Rᵀ and precision Σ⁻¹ = R S⁻¹ S⁻ᵀ Rᵀ from quat+scale.
+
+    API parity with the reference op (gsplat/cuda/_wrapper.py:quat_scale_to_covar_preci;
+    kernel gsplat/cuda/csrc/QuatScaleToCovarCUDA.cu). With ``triu`` the symmetric
+    matrices are returned as upper-triangular 6-vectors (xx, xy, xz, yy, yz, zz).
+    """
+    R = quat_to_rotmat(quats)
+
+    def _make(s):
+        M = R * s[..., None, :]
+        cov = jnp.einsum("...ij,...kj->...ik", M, M, precision="highest")
+        if triu:
+            return jnp.stack(
+                [cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+                 cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2]],
+                axis=-1,
+            )
+        return cov
+
+    covars = _make(scales) if compute_covar else None
+    precis = _make(1.0 / scales) if compute_preci else None
+    return covars, precis
+
+
+def world_to_cam(
+    means: jnp.ndarray,  # [..., N, 3]
+    covars: jnp.ndarray,  # [..., N, 3, 3]
+    viewmats: jnp.ndarray,  # [..., C, 4, 4]
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Transform Gaussian means+covariances into each camera frame.
+
+    Returns means_c [..., C, N, 3] and covars_c [..., C, N, 3, 3].
+    (reference: gsplat/cuda/include/Utils.cuh posW2C/covarW2C)
+    """
+    R = viewmats[..., :3, :3]
+    t = viewmats[..., :3, 3]
+    means_c = (
+        jnp.einsum("...cij,...nj->...cni", R, means, precision="highest")
+        + t[..., :, None, :]
+    )
+    covars_c = jnp.einsum(
+        "...cij,...njk,...clk->...cnil", R, covars, R, precision="highest"
+    )
+    return means_c, covars_c
+
+
+def se3_apply(
+    rotation: jnp.ndarray,  # [..., 3, 3]
+    translation: jnp.ndarray,  # [..., 3]
+    points: jnp.ndarray,  # [..., N, 3]
+) -> jnp.ndarray:
+    """Apply an SE(3) transform to point sets (broadcasts over batch dims)."""
+    return (
+        jnp.einsum("...ij,...nj->...ni", rotation, points, precision="highest")
+        + translation[..., None, :]
+    )

@@ -1,0 +1,22 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh: fast compiles, and multi-device
+# sharding tests work without TPU hardware (SURVEY.md §4c).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME does stick.
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache: XLA compiles dominate test wall time here.
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -1,0 +1,112 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tdgs.ops import tiling
+from tests import oracles
+
+
+def make_projected(rng, I=2, N=64, width=64, height=48, tile_size=16):
+    tile_width = -(-width // tile_size)
+    tile_height = -(-height // tile_size)
+    means2d = rng.uniform(-10, max(width, height) + 10, size=(I, N, 2)).astype(
+        np.float32
+    )
+    radii = rng.integers(0, 12, size=(I, N, 2)).astype(np.int32)
+    # make some invalid
+    radii[rng.random(size=(I, N)) < 0.2] = 0
+    depths = rng.uniform(0.1, 10.0, size=(I, N)).astype(np.float32)
+    return means2d, radii, depths, tile_width, tile_height
+
+
+def test_isect_tiles_matches_bruteforce():
+    rng = np.random.default_rng(21)
+    means2d, radii, depths, tw, th = make_projected(rng)
+    tile_size = 16
+    entries = oracles.isect_tiles_np(means2d, radii, depths, tile_size, tw, th)
+    capacity = len(entries) + 17  # odd slack
+
+    res = tiling.isect_tiles(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, capacity=capacity, max_tiles_per_gauss=64,
+    )
+    n = int(res.n_isects)
+    assert n == len(entries)
+    assert int(res.n_dropped) == 0
+
+    got_keys = np.asarray(res.isect_keys)[:n]
+    got_deps = np.asarray(res.isect_depths)[:n]
+    got_fids = np.asarray(res.flatten_ids)[:n]
+    want_keys = np.array([e[0] for e in entries])
+    want_deps = np.array([e[1] for e in entries])
+    want_fids = np.array([e[2] for e in entries])
+    np.testing.assert_array_equal(got_keys, want_keys)
+    np.testing.assert_allclose(got_deps, want_deps, rtol=1e-6)
+    np.testing.assert_array_equal(got_fids, want_fids)
+
+    # sentinel tail
+    assert np.all(np.asarray(res.isect_keys)[n:] == tiling.INT32_SENTINEL)
+
+    # tiles_per_gauss parity
+    per_gauss = np.zeros((means2d.shape[0], means2d.shape[1]), dtype=np.int64)
+    N = means2d.shape[1]
+    for _, _, fid in entries:
+        per_gauss[fid // N, fid % N] += 1
+    np.testing.assert_array_equal(np.asarray(res.tiles_per_gauss), per_gauss)
+
+
+def test_isect_offsets_match_ranges():
+    rng = np.random.default_rng(22)
+    means2d, radii, depths, tw, th = make_projected(rng, I=3)
+    tile_size = 16
+    entries = oracles.isect_tiles_np(means2d, radii, depths, tile_size, tw, th)
+    capacity = len(entries) + 5
+
+    res = tiling.isect_tiles(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, capacity=capacity, max_tiles_per_gauss=64,
+    )
+    offsets = np.asarray(tiling.isect_offset_encode(res.isect_keys, 3, tw, th))
+    assert offsets.shape == (3, th, tw)
+
+    keys = np.array([e[0] for e in entries])
+    for i in range(3):
+        for ty in range(th):
+            for tx in range(tw):
+                key = i * tw * th + ty * tw + tx
+                want_start = int(np.searchsorted(keys, key, side="left"))
+                assert offsets[i, ty, tx] == want_start
+
+
+def test_capacity_overflow_drops_and_counts():
+    rng = np.random.default_rng(23)
+    means2d, radii, depths, tw, th = make_projected(rng)
+    tile_size = 16
+    entries = oracles.isect_tiles_np(means2d, radii, depths, tile_size, tw, th)
+    capacity = max(len(entries) // 2, 1)
+
+    res = tiling.isect_tiles(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, capacity=capacity, max_tiles_per_gauss=64,
+    )
+    assert int(res.n_isects) == capacity
+    assert int(res.n_dropped) == len(entries) - capacity
+    # entries present must be a subset (prefix order of the pre-sort
+    # enumeration), all valid keys
+    got_keys = np.asarray(res.isect_keys)
+    assert (got_keys != tiling.INT32_SENTINEL).sum() == capacity
+
+
+def test_max_tiles_per_gauss_clamp():
+    # one huge gaussian covering everything
+    tile_size = 16
+    tw, th = 8, 8
+    means2d = np.array([[[64.0, 64.0]]], dtype=np.float32)
+    radii = np.array([[[1000, 1000]]], dtype=np.int32)
+    depths = np.array([[1.0]], dtype=np.float32)
+    res = tiling.isect_tiles(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, capacity=128, max_tiles_per_gauss=16,
+    )
+    assert int(res.tiles_per_gauss[0, 0]) == 64  # true count
+    assert int(res.n_isects) == 16  # capped
+    assert int(res.n_dropped) == 48
