@@ -104,20 +104,27 @@ def _fwd_kernel(
     color_out_ref,  # [D, P]
     trans_out_ref,  # [1, P]
     acc_ref,  # scratch [D, P]
-    logt_ref,  # scratch [1, P]
+    lograw_ref,  # scratch [1, P]: raw prefix log-product (incl. cut gaussians)
+    logeff_ref,  # scratch [1, P]: effective log T (included gaussians only)
     *,
     tile_size: int,
     tile_width: int,
     tiles_per_image: int,
     cap: int,
 ):
+    # Two transmittance carries: inclusion is tested against the RAW prefix
+    # product (monotone, so once a pixel crosses 1e-4 it stays excluded —
+    # the permanent `done` of the sequential loop), while the rendered alpha
+    # uses the EFFECTIVE product over included gaussians only. The two agree
+    # up to the cutoff, so raw P_prev is also the correct weight factor.
     t = pl.program_id(0)
     px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
     P = tile_size * tile_size
     tri = _tri_incl(CHUNK)
 
     acc_ref[:, :] = jnp.zeros_like(acc_ref)
-    logt_ref[:, :] = jnp.zeros_like(logt_ref)
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
+    logeff_ref[:, :] = jnp.zeros_like(logeff_ref)
 
     n_chunks = cap // CHUNK
 
@@ -125,7 +132,7 @@ def _fwd_kernel(
         c0 = pl.multiple_of(ci * CHUNK, CHUNK)
         # Skip once every pixel is saturated (early-exit analogue) or the
         # chunk is empty (gathered opacity 0 ⇒ α 0 ⇒ no-op).
-        not_done = jnp.max(logt_ref[0:1, :]) > jnp.log(TRANSMITTANCE_EPS)
+        not_done = jnp.max(lograw_ref[0:1, :]) > jnp.log(TRANSMITTANCE_EPS)
         has_work = jnp.max(opac_ref[0:1, pl.ds(c0, CHUNK)]) > 0.0
 
         @pl.when(not_done & has_work)
@@ -135,9 +142,9 @@ def _fwd_kernel(
             )
             logs = jnp.log1p(-alpha)  # [P, G]
             S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
-            logP = S + logt_ref[0:1, :].reshape(P, 1)
+            logP = S + lograw_ref[0:1, :].reshape(P, 1)
             included = logP > jnp.log(TRANSMITTANCE_EPS)
-            P_prev = jnp.exp(logP - logs)  # T before gaussian k
+            P_prev = jnp.exp(logP - logs)  # raw T before gaussian k
             w = jnp.where(included, alpha * P_prev, 0.0)  # [P, G]
             # acc[d, p] += colors[d, G] · w[p, G]^T
             cchunk = colors_ref[:, pl.ds(c0, CHUNK)]  # [D, G]
@@ -147,14 +154,15 @@ def _fwd_kernel(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            logt_ref[:, :] += jnp.sum(
+            lograw_ref[:, :] += jnp.sum(logs, axis=1).reshape(1, P)
+            logeff_ref[:, :] += jnp.sum(
                 jnp.where(included, logs, 0.0), axis=1
             ).reshape(1, P)
 
     jax.lax.fori_loop(0, n_chunks, body, None)
 
     color_out_ref[:, :] = acc_ref[:, :]
-    trans_out_ref[:, :] = jnp.exp(logt_ref[:, :])
+    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
 
 
 def _bwd_kernel(
@@ -170,7 +178,7 @@ def _bwd_kernel(
     v_conics_ref,  # out [3, cap]
     v_colors_ref,  # out [D, cap]
     v_opac_ref,  # out [1, cap]
-    logt_ref,  # scratch [1, P]
+    lograw_ref,  # scratch [1, P]: raw prefix log-product carry
     prefq_ref,  # scratch [1, P]
     *,
     tile_size: int,
@@ -183,7 +191,7 @@ def _bwd_kernel(
     P = tile_size * tile_size
     tri = _tri_incl(CHUNK)
 
-    logt_ref[:, :] = jnp.zeros_like(logt_ref)
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
     prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
 
     # v_A arrives w.r.t. α_img = 1 − T ⇒ w.r.t. T it is −v_A; the CUDA kernel
@@ -194,7 +202,7 @@ def _bwd_kernel(
 
     def body(ci, _):
         c0 = pl.multiple_of(ci * CHUNK, CHUNK)
-        not_done = jnp.max(logt_ref[0:1, :]) > jnp.log(TRANSMITTANCE_EPS)
+        not_done = jnp.max(lograw_ref[0:1, :]) > jnp.log(TRANSMITTANCE_EPS)
         has_work = jnp.max(opac_ref[0:1, pl.ds(c0, CHUNK)]) > 0.0
 
         def compute():
@@ -204,7 +212,7 @@ def _bwd_kernel(
             one_minus = 1.0 - alpha
             logs = jnp.log1p(-alpha)
             S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
-            logP = S + logt_ref[0:1, :].reshape(P, 1)
+            logP = S + lograw_ref[0:1, :].reshape(P, 1)
             included = logP > jnp.log(TRANSMITTANCE_EPS)
             P_prev = jnp.exp(logP - logs)
             w = jnp.where(included, alpha * P_prev, 0.0)
@@ -249,9 +257,7 @@ def _bwd_kernel(
             v_opac_ref[0:1, sl] = jnp.sum(v_op, axis=0)[None, :]
 
             prefq_ref[:, :] += jnp.sum(q, axis=1).reshape(1, P)
-            logt_ref[:, :] += jnp.sum(jnp.where(included, logs, 0.0), axis=1).reshape(
-                1, P
-            )
+            lograw_ref[:, :] += jnp.sum(logs, axis=1).reshape(1, P)
 
         def skip():
             sl = pl.ds(c0, CHUNK)
@@ -272,7 +278,8 @@ def _bwd_kernel(
 
 
 def _block(k, cap):
-    return pl.BlockSpec((1, k, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # Leading None squeezes the tile axis: the kernel sees [k, cap].
+    return pl.BlockSpec((None, k, cap), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
 
 @functools.partial(
@@ -313,8 +320,8 @@ def _raster_core_fwd(
         grid=(T_tiles,),
         in_specs=[_block(2, cap), _block(3, cap), _block(D, cap), _block(1, cap)],
         out_specs=[
-            pl.BlockSpec((1, D, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, D, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((T_tiles, D, P), jnp.float32),
@@ -322,6 +329,7 @@ def _raster_core_fwd(
         ],
         scratch_shapes=[
             pltpu.VMEM((D, P), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
             pltpu.VMEM((1, P), jnp.float32),
         ],
         interpret=_use_interpret(),
@@ -350,7 +358,7 @@ def _raster_core_bwd(tile_size, tile_width, tiles_per_image, residuals, grads):
         cap=cap,
     )
     pblock = lambda k: pl.BlockSpec(
-        (1, k, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (None, k, P), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     v_means, v_conics, v_colors, v_opac = pl.pallas_call(
         kern,

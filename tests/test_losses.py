@@ -1,0 +1,58 @@
+import numpy as np
+import jax.numpy as jnp
+
+from tdgs.training import losses as L
+
+
+def test_psnr_identity():
+    img = jnp.asarray(np.random.default_rng(0).uniform(size=(1, 16, 16, 3)))
+    assert float(L.psnr(img, img)) > 100.0
+    noisy = img + 0.1
+    p = float(L.psnr(noisy, img))
+    np.testing.assert_allclose(p, 20.0, atol=0.1)  # mse=0.01 → 20 dB
+
+
+def test_ssim_bounds_and_identity():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    assert float(L.ssim(a, a)) > 0.9999
+    s_ab = float(L.ssim(a, b))
+    assert -1.0 <= s_ab < 0.9
+
+
+def test_ssim_monotone_in_noise():
+    rng = np.random.default_rng(2)
+    img = jnp.asarray(rng.uniform(size=(1, 32, 32, 3)).astype(np.float32))
+    s1 = float(L.ssim(img + 0.02, img))
+    s2 = float(L.ssim(img + 0.2, img))
+    assert s1 > s2
+
+
+def test_dssim_l1_zero_at_identity():
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.uniform(size=(1, 24, 24, 3)).astype(np.float32))
+    assert float(L.d_ssim_l1_loss(img, img)) < 1e-5
+
+
+def test_ssim_matches_torch_reference():
+    """Cross-check against torchmetrics (torch CPU is baked in)."""
+    try:
+        from torchmetrics.functional import structural_similarity_index_measure
+        import torch
+    except ImportError:
+        import pytest
+
+        pytest.skip("torchmetrics unavailable")
+    rng = np.random.default_rng(4)
+    a = rng.uniform(size=(2, 33, 47, 3)).astype(np.float32)
+    b = np.clip(a + rng.normal(scale=0.1, size=a.shape), 0, 1).astype(np.float32)
+    got = float(L.ssim(jnp.asarray(a), jnp.asarray(b)))
+    want = float(
+        structural_similarity_index_measure(
+            torch.from_numpy(a).permute(0, 3, 1, 2),
+            torch.from_numpy(b).permute(0, 3, 1, 2),
+            data_range=1.0,
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-3)
