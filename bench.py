@@ -1,0 +1,95 @@
+"""Benchmark: 1080p render fps on one TPU chip (BASELINE.json metric).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+North star (BASELINE.json): ≥30 fps dynamic 1080p render (+ ≥240 Hz physics
+once the physics stage lands) on one v5e chip. vs_baseline = fps / 30.
+
+The scene is synthetic (the domino-scene data isn't shipped): N gaussians
+with realistic screen footprints, full pipeline per frame — projection,
+SH, tile sort, Pallas rasterization — as one jit program, matching how the
+dynamic render loop runs per frame (re-sort every frame).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdgs.rendering import rasterization
+
+WIDTH, HEIGHT = 1920, 1080
+N = 200_000
+BASELINE_FPS = 30.0
+
+
+def make_scene(n, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(n, 3)).astype(np.float32) * np.array(
+        [3.0, 2.0, 1.0], np.float32
+    ) + np.array([0, 0, 8.0], np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = rng.uniform(0.005, 0.03, size=(n, 3)).astype(np.float32)
+    opacities = rng.uniform(0.3, 1.0, size=(n,)).astype(np.float32)
+    sh = (rng.normal(size=(n, 16, 3)) * 0.2).astype(np.float32)
+    viewmats = np.eye(4, dtype=np.float32)[None]
+    f = 1400.0
+    Ks = np.array(
+        [[[f, 0, WIDTH / 2], [0, f, HEIGHT / 2], [0, 0, 1]]], np.float32
+    )
+    return (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opacities), jnp.asarray(sh),
+        jnp.asarray(viewmats), jnp.asarray(Ks),
+    )
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    means, quats, scales, opacities, sh, viewmats, Ks = make_scene(N)
+    use_pallas = jax.default_backend() == "tpu"
+
+    def render(means, quats, scales, opacities, sh, viewmats, Ks):
+        img, alpha, meta = rasterization(
+            means, quats, scales, opacities, sh, viewmats, Ks,
+            WIDTH, HEIGHT,
+            sh_degree=3,
+            rasterizer="pallas" if use_pallas else "jax",
+            isect_capacity=1 << 21,
+            tile_capacity=512,
+            max_tiles_per_gauss=32,
+        )
+        return img, alpha, meta["n_dropped"]
+
+    fn = jax.jit(render)
+    args = (means, quats, scales, opacities, sh, viewmats, Ks)
+    img, alpha, n_dropped = fn(*args)
+    jax.block_until_ready(img)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        img, alpha, _ = fn(*args)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    fps = n_iters / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "1080p_render_fps",
+                "value": round(fps, 2),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

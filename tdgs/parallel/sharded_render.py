@@ -1,0 +1,163 @@
+"""Gaussian-sharded multi-device rendering (shard_map + ICI collectives).
+
+The TPU-native equivalent of the reference's distributed rasterization
+(gsplat/rendering.py:360-611 + gsplat/distributed.py, the design of
+"On Scaling Up 3DGS Training", arXiv:2406.18533):
+
+reference (NCCL, per rank)                 this module (one shard_map)
+--------------------------------           ---------------------------------
+all_gather cameras from all ranks          lax.all_gather over the mesh axis
+project local gaussians x all cameras      same, on the local shard
+all_to_all splats by target rank           lax.all_to_all: [C, n] -> [C/D, N]
+  (packed by per-camera visibility,
+   global<->local id remaps)                 (dense with radii-mask validity —
+                                              no remap bookkeeping needed)
+rasterize local cameras                    same
+differentiable collectives via            XLA collectives are differentiable
+  torch.distributed.nn.functional           by construction
+
+Everything lives inside ONE shard_map region so XLA can overlap the
+all_to_all with projection/SH compute over ICI.
+
+Sharding contract: gaussians sharded on axis 0 across the mesh axis;
+cameras sharded on axis 0 (each device renders its own C/D cameras, as the
+reference requires equal per-rank camera counts).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tdgs.ops.projection import fully_fused_projection
+from tdgs.ops.rasterize_jax import rasterize_to_pixels_jax
+from tdgs.ops.sh import spherical_harmonics
+from tdgs.ops.tiling import isect_offset_encode, isect_tiles
+
+
+def rasterization_sharded(
+    means: jnp.ndarray,  # [N, 3] sharded ("gauss")
+    quats: jnp.ndarray,  # [N, 4]
+    scales: jnp.ndarray,  # [N, 3]
+    opacities: jnp.ndarray,  # [N]
+    colors: jnp.ndarray,  # [N, K, 3] SH or [N, D]
+    viewmats: jnp.ndarray,  # [C, 4, 4] sharded ("gauss" axis = camera shards)
+    Ks: jnp.ndarray,  # [C, 3, 3]
+    width: int,
+    height: int,
+    mesh: Mesh,
+    axis_name: str = "gauss",
+    sh_degree: Optional[int] = None,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    eps2d: float = 0.3,
+    radius_clip: float = 0.0,
+    tile_size: int = 16,
+    isect_capacity: Optional[int] = None,
+    tile_capacity: int = 512,
+    max_tiles_per_gauss: int = 32,
+    rasterizer: str = "jax",
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """Collaboratively render C cameras from N gaussians sharded over the mesh.
+
+    Returns (render_colors [C, H, W, D], render_alphas [C, H, W, 1], meta) with
+    outputs sharded by camera. Differentiable w.r.t. all gaussian inputs —
+    gradients flow back through the all_to_all to each gaussian's home device
+    (no gradient all-reduce, matching the reference's ownership model).
+    """
+    D_mesh = mesh.shape[axis_name]
+    C = viewmats.shape[0]
+    N = means.shape[0]
+    assert C % D_mesh == 0, f"cameras {C} must divide over {D_mesh} devices"
+
+    def local_fn(means, quats, scales, opacities, colors, viewmats, Ks):
+        # means etc: local shard [n, ...]; viewmats: local cameras [c, 4, 4]
+        n = means.shape[0]
+        # (1) gather all cameras (reference rendering.py:366-381)
+        viewmats_all = jax.lax.all_gather(viewmats, axis_name, tiled=True)
+        Ks_all = jax.lax.all_gather(Ks, axis_name, tiled=True)
+
+        # (2) project local gaussians against ALL cameras
+        radii, means2d, depths, conics, _ = fully_fused_projection(
+            means, quats, scales, viewmats_all, Ks_all, width, height,
+            eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip, opacities=opacities,
+        )  # [C, n, ...]
+
+        # (3) colors for all cameras
+        if sh_degree is None:
+            cols = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+        else:
+            campos = jnp.linalg.inv(viewmats_all)[:, :3, 3]
+            dirs = means[None, :, :] - campos[:, None, :]
+            masks = (radii > 0).all(-1)
+            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            cols = spherical_harmonics(sh_degree, dirs, shs, masks=masks)
+            cols = jnp.maximum(cols + 0.5, 0.0)
+
+        opac = jnp.broadcast_to(opacities[None], (C, n))
+
+        # (4) exchange: camera-major -> gaussian-major
+        #     [C, n, ...] -> [C/D, N, ...]: each device keeps its own cameras
+        #     but receives every device's gaussians for them.
+        def a2a(x):
+            return jax.lax.all_to_all(
+                x, axis_name, split_axis=0, concat_axis=1, tiled=True
+            )
+
+        radii_l = a2a(radii)
+        means2d_l = a2a(means2d)
+        depths_l = a2a(depths)
+        conics_l = a2a(conics)
+        cols_l = a2a(cols)
+        opac_l = a2a(opac)
+
+        c_local = radii_l.shape[0]
+        tile_width = math.ceil(width / tile_size)
+        tile_height = math.ceil(height / tile_size)
+        cap = isect_capacity or max(1 << 14, c_local * N * 4)
+
+        isect = isect_tiles(
+            jax.lax.stop_gradient(means2d_l), radii_l,
+            jax.lax.stop_gradient(depths_l),
+            tile_size, tile_width, tile_height,
+            capacity=cap, max_tiles_per_gauss=max_tiles_per_gauss,
+        )
+        offsets = isect_offset_encode(
+            isect.isect_keys, c_local, tile_width, tile_height
+        )
+
+        if rasterizer == "pallas":
+            from tdgs.ops.rasterize_pallas import rasterize_to_pixels_pallas
+
+            raster_fn = rasterize_to_pixels_pallas
+        else:
+            raster_fn = rasterize_to_pixels_jax
+
+        img, alpha = raster_fn(
+            means2d_l, conics_l, cols_l, opac_l, width, height, tile_size,
+            offsets, isect.flatten_ids, isect.n_isects,
+            tile_capacity=tile_capacity,
+        )
+        return img, alpha, isect.n_dropped[None]  # [1] per device → [D]
+
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(
+            P(axis_name), P(axis_name), P(axis_name), P(axis_name),
+            P(axis_name), P(axis_name), P(axis_name),
+        ),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    img, alpha, n_dropped = shard(
+        means, quats, scales, opacities, colors, viewmats, Ks
+    )
+    meta = {"n_dropped": n_dropped, "width": width, "height": height}
+    return img, alpha, meta

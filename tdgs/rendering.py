@@ -65,6 +65,7 @@ def rasterization(
     tile_capacity: int = 1024,
     max_tiles_per_gauss: int = 32,
     rasterizer: str = "jax",
+    means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Rasterize N 3D Gaussians to C cameras (arbitrary leading batch dims).
 
@@ -120,6 +121,13 @@ def rasterization(
         opacities=opacities,
         covars=covars,
     )  # [..., C, N, ...]
+
+    if means2d_offset is not None:
+        # Zero-valued tap: grad w.r.t. this argument IS the screen-space
+        # positional gradient the DefaultStrategy consumes (the JAX
+        # equivalent of the reference's means2d.retain_grad(),
+        # strategy/default.py:138-150).
+        means2d = means2d + means2d_offset
 
     opacities_cn = jnp.broadcast_to(opacities[..., None, :], batch_dims + (C, N))
     if compensations is not None:

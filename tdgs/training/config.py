@@ -1,0 +1,134 @@
+"""Training configuration (dataclass; tyro-compatible CLI).
+
+Capability parity with the reference's Config (examples/simple_trainer.py:46,
+~90 flags) including the fork's segmentation/normals/depth extensions.
+Flags that are CUDA-memory-mode specific (packed/sparse_grad) don't exist;
+TPU capacity knobs (isect_capacity, tile_capacity) replace them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Literal, Optional, Tuple, Union
+
+from tdgs.strategy import DefaultStrategy, MCMCStrategy
+
+
+@dataclass
+class Config:
+    # data
+    data_dir: str = "data/360_v2/garden"
+    data_factor: int = 4
+    result_dir: str = "results/garden"
+    test_every: int = 8
+    normalize_world_space: bool = True
+    patch_size: Optional[int] = None
+
+    # run schedule
+    max_steps: int = 30_000
+    eval_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    save_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    ply_steps: List[int] = field(default_factory=lambda: [7_000, 30_000])
+    save_ply: bool = False
+    steps_scaler: float = 1.0  # global step scaling (reference :237-255)
+    batch_size: int = 1
+
+    # model init
+    init_type: Literal["sfm", "random"] = "sfm"
+    init_num_pts: int = 100_000
+    init_extent: float = 3.0
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000
+    init_opa: float = 0.1
+    init_scale: float = 1.0
+
+    # render
+    near_plane: float = 0.01
+    far_plane: float = 1e10
+    camera_model: Literal["pinhole", "ortho", "fisheye"] = "pinhole"
+    antialiased: bool = False
+    rasterizer: Literal["auto", "jax", "pallas"] = "auto"
+    tile_capacity: int = 1024
+    isect_capacity: Optional[int] = None
+    max_tiles_per_gauss: int = 32
+
+    # losses
+    ssim_lambda: float = 0.2
+    random_bkgd: bool = False
+    depth_loss: bool = False
+    depth_lambda: float = 1e-2
+    opacity_reg: float = 0.0
+    scale_reg: float = 0.0
+
+    # learning rates (reference create_splats_with_optimizers:339-355)
+    means_lr: float = 1.6e-4
+    scales_lr: float = 5e-3
+    quats_lr: float = 1e-3
+    opacities_lr: float = 5e-2
+    sh0_lr: float = 2.5e-3
+    shN_lr: float = 2.5e-3 / 20.0
+
+    # strategy
+    strategy: Union[DefaultStrategy, MCMCStrategy] = field(
+        default_factory=DefaultStrategy
+    )
+    # static gaussian capacity; None → MCMC cap_max or 4x initial count
+    capacity: Optional[int] = None
+
+    # pose optimization (reference CameraOptModule)
+    pose_opt: bool = False
+    pose_opt_lr: float = 1e-5
+    pose_opt_reg: float = 1e-6
+    pose_noise: float = 0.0
+
+    # appearance optimization (reference AppearanceOptModule)
+    app_opt: bool = False
+    app_embed_dim: int = 16
+    app_opt_lr: float = 1e-3
+    app_opt_reg: float = 1e-6
+
+    # identity-vector segmentation (fork extension, simple_trainer.py:198-220)
+    with_segmentation: bool = False
+    identity_dim: int = 16
+    seg_start_iter: int = 1000
+    seg_loss_every: int = 50
+    seg_loss_weight: float = 0.3
+    seg_spatial_every: int = 500
+    seg_spatial_weight: float = 0.1
+
+    # misc
+    seed: int = 42
+    tb_every: int = 100
+    use_bilateral_grid: bool = False
+    bilateral_grid_shape: Tuple[int, int, int] = (16, 16, 8)
+    lpips_net: str = "alex"
+
+    def adjusted(self) -> "Config":
+        """Scale all step-based schedules by steps_scaler
+        (reference adjust_steps, simple_trainer.py:237-255)."""
+        s = self.steps_scaler
+        if s == 1.0:
+            return self
+        strat = self.strategy
+        strat = dataclasses.replace(
+            strat,
+            refine_start_iter=int(strat.refine_start_iter * s),
+            refine_stop_iter=int(strat.refine_stop_iter * s),
+            refine_every=max(1, int(strat.refine_every * s)),
+            **(
+                {"reset_every": max(1, int(strat.reset_every * s))}
+                if isinstance(strat, DefaultStrategy)
+                else {}
+            ),
+        )
+        return dataclasses.replace(
+            self,
+            max_steps=int(self.max_steps * s),
+            eval_steps=[int(x * s) for x in self.eval_steps],
+            save_steps=[int(x * s) for x in self.save_steps],
+            ply_steps=[int(x * s) for x in self.ply_steps],
+            sh_degree_interval=int(self.sh_degree_interval * s),
+            strategy=strat,
+            steps_scaler=1.0,
+        )

@@ -1,0 +1,429 @@
+"""3DGS trainer: the TPU counterpart of the reference's Runner
+(examples/simple_trainer.py:359-1596).
+
+Design: one jit-compiled train step (render → losses → grads → per-param
+Adam update), host-side strategy callbacks every refine interval, numpy
+data pipeline with background prefetch. All gaussian state is a fixed-
+capacity pytree (tdgs.models.gaussians); densification runs through
+tdgs.strategy at static shapes.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tdgs.datasets import Dataset, Parser
+from tdgs.models import gaussians as G
+from tdgs.ops.adam import selective_adam
+from tdgs.rendering import rasterization
+from tdgs.strategy import DefaultStrategy, MCMCStrategy
+from tdgs.training import losses as L
+from tdgs.training.config import Config
+
+
+def make_lr_schedules(cfg: Config, scene_scale: float, max_steps: int):
+    """Per-param learning rates; means get exponential decay to 1% —
+    reference simple_trainer.py:339-355, 643-648. lr·sqrt(batch_size)."""
+    bs_scale = math.sqrt(cfg.batch_size)
+
+    def means_lr(step):
+        init = cfg.means_lr * scene_scale * bs_scale
+        return init * (0.01 ** (step / max_steps))
+
+    return {
+        "means": means_lr,
+        "scales": cfg.scales_lr * bs_scale,
+        "quats": cfg.quats_lr * bs_scale,
+        "opacities": cfg.opacities_lr * bs_scale,
+        "sh0": cfg.sh0_lr * bs_scale,
+        "shN": cfg.shN_lr * bs_scale,
+        "identity_encodings": cfg.sh0_lr * bs_scale,
+    }
+
+
+class SplatOptimizer:
+    """Per-param (uncorrected, selective) Adam — one moment pytree shaped
+    like params, per-name lr resolved each step. Mirrors the reference's
+    dict of per-param torch Adam optimizers."""
+
+    def __init__(self, cfg: Config, scene_scale: float, max_steps: int,
+                 b1=0.9, b2=0.999, eps=1e-15):
+        self.lrs = make_lr_schedules(cfg, scene_scale, max_steps)
+        self.b1, self.b2, self.eps = b1, b2, eps
+
+    def init(self, params: G.SplatParams):
+        return {
+            "mu": jax.tree.map(jnp.zeros_like, params),
+            "nu": jax.tree.map(jnp.zeros_like, params),
+        }
+
+    def lr_at(self, step: int) -> Dict[str, float]:
+        return {
+            k: (v(step) if callable(v) else v) for k, v in self.lrs.items()
+        }
+
+    def update(self, grads, state, params, lr_dict, visibility=None):
+        """Functional Adam step (inside jit). lr_dict: name → scalar."""
+        new_mu, new_nu, new_params = {}, {}, {}
+        for name, g in grads.items():
+            mu = self.b1 * state["mu"][name] + (1 - self.b1) * g
+            nu = self.b2 * state["nu"][name] + (1 - self.b2) * g * g
+            step = -lr_dict[name] * mu / (jnp.sqrt(nu) + self.eps)
+            if visibility is not None:
+                vis = visibility.reshape(
+                    visibility.shape + (1,) * (g.ndim - 1)
+                )
+                step = jnp.where(vis, step, 0.0)
+                mu = jnp.where(vis, mu, state["mu"][name])
+                nu = jnp.where(vis, nu, state["nu"][name])
+            new_mu[name] = mu
+            new_nu[name] = nu
+            new_params[name] = params[name] + step
+        return new_params, {"mu": new_mu, "nu": new_nu}
+
+
+class Runner:
+    """Training runner (reference Runner:359)."""
+
+    def __init__(self, cfg: Config):
+        cfg = cfg.adjusted()
+        self.cfg = cfg
+        os.makedirs(cfg.result_dir, exist_ok=True)
+        self.stats_dir = os.path.join(cfg.result_dir, "stats")
+        self.ckpt_dir = os.path.join(cfg.result_dir, "ckpts")
+        os.makedirs(self.stats_dir, exist_ok=True)
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+
+        self.parser = Parser(
+            cfg.data_dir,
+            factor=cfg.data_factor,
+            normalize=cfg.normalize_world_space,
+            test_every=cfg.test_every,
+            load_instance_masks=cfg.with_segmentation,
+        )
+        self.trainset = Dataset(
+            self.parser, "train", patch_size=cfg.patch_size,
+            load_depths=cfg.depth_loss,
+        )
+        self.valset = Dataset(self.parser, "val")
+        self.scene_scale = self.parser.scene_scale * 1.1 * cfg.init_extent / 3.0
+
+        key = jax.random.PRNGKey(cfg.seed)
+        self.key, init_key = jax.random.split(key)
+        self.splats = self._init_splats(init_key)
+        self.capacity = self.splats["means"].shape[0]
+
+        self.optimizer = SplatOptimizer(cfg, self.scene_scale, cfg.max_steps)
+        self.opt_state = self.optimizer.init(self.splats)
+
+        self.strategy = cfg.strategy
+        self.strategy.check_sanity(self.splats)
+        if isinstance(self.strategy, MCMCStrategy):
+            self.strategy_state = self.strategy.initialize_state(
+                self.splats, n_alive=self._n_init
+            )
+        else:
+            self.strategy_state = self.strategy.initialize_state(
+                self.splats, scene_scale=self.scene_scale
+            )
+
+        self._train_step = jax.jit(
+            self._train_step_impl, donate_argnums=(0, 1),
+            static_argnames=("sh_degree", "use_means2d_tap"),
+        )
+
+    # ------------------------------------------------------------------
+    def _init_splats(self, key) -> G.SplatParams:
+        cfg = self.cfg
+        if cfg.init_type == "sfm":
+            pts = jnp.asarray(self.parser.points)
+            rgbs = jnp.asarray(self.parser.points_rgb / 255.0)
+            n_init = pts.shape[0]
+        else:
+            pts = jax.random.uniform(
+                key, (cfg.init_num_pts, 3), minval=-1.0, maxval=1.0
+            ) * cfg.init_extent * self.parser.scene_scale
+            rgbs = None
+            n_init = cfg.init_num_pts
+        self._n_init = n_init
+        capacity = cfg.capacity
+        if capacity is None:
+            if isinstance(cfg.strategy, MCMCStrategy):
+                capacity = cfg.strategy.cap_max
+            else:
+                capacity = 4 * n_init
+        capacity = max(capacity, n_init)
+        return G.create_splats(
+            pts, rgbs, key,
+            sh_degree=cfg.sh_degree,
+            init_opacity=cfg.init_opa,
+            init_scale_mult=cfg.init_scale,
+            n_max=capacity,
+            identity_dim=cfg.identity_dim if cfg.with_segmentation else 0,
+        )
+
+    # ------------------------------------------------------------------
+    def rasterize_splats(
+        self,
+        params: G.SplatParams,
+        viewmats: jnp.ndarray,
+        Ks: jnp.ndarray,
+        width: int,
+        height: int,
+        sh_degree: int,
+        means2d_offset: Optional[jnp.ndarray] = None,
+        override_features: Optional[jnp.ndarray] = None,
+        backgrounds: Optional[jnp.ndarray] = None,
+        render_mode: str = "RGB",
+    ):
+        """(reference Runner.rasterize_splats:559, incl. the
+        override_features identity-rendering path :578-584)."""
+        cfg = self.cfg
+        means, quats, scales, opacities, sh = G.splat_activations(params)
+        if override_features is not None:
+            colors = override_features
+            sh_deg = None
+        else:
+            colors = sh
+            sh_deg = sh_degree
+        rasterizer = cfg.rasterizer
+        if rasterizer == "auto":
+            rasterizer = "pallas" if jax.default_backend() == "tpu" else "jax"
+        return rasterization(
+            means, quats, scales, opacities, colors, viewmats, Ks,
+            width, height,
+            sh_degree=sh_deg,
+            near_plane=cfg.near_plane,
+            far_plane=cfg.far_plane,
+            camera_model=cfg.camera_model,
+            rasterize_mode="antialiased" if cfg.antialiased else "classic",
+            rasterizer=rasterizer,
+            tile_capacity=cfg.tile_capacity,
+            isect_capacity=cfg.isect_capacity,
+            max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+            means2d_offset=means2d_offset,
+            backgrounds=backgrounds,
+            render_mode=render_mode,
+        )
+
+    # ------------------------------------------------------------------
+    def _train_step_impl(
+        self, params, opt_state, batch, lr_dict, key,
+        sh_degree: int, use_means2d_tap: bool,
+    ):
+        cfg = self.cfg
+        images = batch["image"]  # [B, H, W, 3]
+        B, H, W = images.shape[:3]
+        render_mode = "RGB+ED" if cfg.depth_loss else "RGB"
+
+        k_bkgd, key = jax.random.split(key)
+        backgrounds = (
+            jax.random.uniform(k_bkgd, (B, 3))
+            if cfg.random_bkgd
+            else None
+        )
+
+        def loss_fn(params, means2d_offset):
+            img, alpha, meta = self.rasterize_splats(
+                params, batch["viewmat"], batch["K"], W, H, sh_degree,
+                means2d_offset=means2d_offset if use_means2d_tap else None,
+                backgrounds=backgrounds,
+                render_mode=render_mode,
+            )
+            colors = img[..., :3]
+            loss = L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)
+            if cfg.depth_loss:
+                loss = loss + cfg.depth_lambda * L.depth_loss_sparse(
+                    img[..., 3:], batch["points"], batch["depths"],
+                    valid=batch.get("points_valid"),
+                )
+            if cfg.opacity_reg > 0:
+                loss = loss + cfg.opacity_reg * jnp.mean(
+                    jnp.abs(jax.nn.sigmoid(params["opacities"]))
+                )
+            if cfg.scale_reg > 0:
+                loss = loss + cfg.scale_reg * jnp.mean(
+                    jnp.abs(jnp.exp(params["scales"]))
+                )
+            aux = {
+                "radii": meta["radii"],
+                "n_dropped": meta["n_dropped"],
+                "img": colors,
+            }
+            return loss, aux
+
+        C = params["means"].shape[0]
+        tap = jnp.zeros((B, 1, C, 2)) if use_means2d_tap else jnp.zeros(())
+        (loss, aux), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, tap)
+        g_params, g_tap = grads
+
+        visibility = (aux["radii"] > 0).all(-1).any(axis=tuple(range(aux["radii"].ndim - 2)))
+        params, opt_state = self.optimizer.update(
+            g_params, opt_state, params, lr_dict, visibility=visibility
+        )
+        aux["v_means2d"] = g_tap
+        aux["visibility"] = visibility
+        return params, opt_state, loss, aux
+
+    # ------------------------------------------------------------------
+    def _make_batch(self, indices) -> Dict[str, jnp.ndarray]:
+        items = [self.trainset[int(i)] for i in indices]
+        batch = {
+            "image": jnp.asarray(np.stack([it["image"] for it in items])),
+            "viewmat": jnp.asarray(np.stack([it["viewmat"] for it in items])[:, None]),
+            "K": jnp.asarray(np.stack([it["K"] for it in items])[:, None]),
+        }
+        # per-image single camera: fold camera dim C=1
+        batch["viewmat"] = batch["viewmat"][:, 0][None] if False else batch["viewmat"]
+        if self.cfg.depth_loss:
+            m = max(len(it.get("points", [])) for it in items) or 1
+            pts = np.zeros((len(items), m, 2), np.float32)
+            dep = np.zeros((len(items), m), np.float32)
+            val = np.zeros((len(items), m), np.float32)
+            for i, it in enumerate(items):
+                k = len(it.get("points", []))
+                if k:
+                    pts[i, :k] = it["points"]
+                    dep[i, :k] = it["depths"]
+                    val[i, :k] = 1.0
+            batch["points"] = jnp.asarray(pts)
+            batch["depths"] = jnp.asarray(dep)
+            batch["points_valid"] = jnp.asarray(val)
+        return batch
+
+    # ------------------------------------------------------------------
+    def train(self) -> Dict[str, Any]:
+        cfg = self.cfg
+        max_steps = cfg.max_steps
+        rng = np.random.default_rng(cfg.seed)
+        order = rng.permutation(len(self.trainset))
+        cursor = 0
+        t0 = time.time()
+        history = []
+
+        for step in range(1, max_steps + 1):
+            if cursor + cfg.batch_size > len(order):
+                order = rng.permutation(len(self.trainset))
+                cursor = 0
+            idx = order[cursor : cursor + cfg.batch_size]
+            cursor += cfg.batch_size
+
+            # batch with camera dim: [B, C=1, ...] — flatten B into cameras
+            items = [self.trainset[int(i)] for i in idx]
+            batch = {
+                "image": jnp.asarray(np.stack([it["image"] for it in items])),
+                "viewmat": jnp.asarray(np.stack([it["viewmat"] for it in items])),
+                "K": jnp.asarray(np.stack([it["K"] for it in items])),
+            }
+            if cfg.depth_loss:
+                b2 = self._make_batch(idx)
+                batch.update({k: b2[k] for k in ("points", "depths", "points_valid")})
+
+            sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
+            use_tap = isinstance(self.strategy, DefaultStrategy)
+            lr_dict = {
+                k: jnp.float32(v) for k, v in self.optimizer.lr_at(step).items()
+                if k in self.splats
+            }
+            self.key, k_step, k_strat = jax.random.split(self.key, 3)
+
+            self.splats, self.opt_state, loss, aux = self._train_step(
+                self.splats, self.opt_state, batch, lr_dict, k_step,
+                sh_degree=sh_degree, use_means2d_tap=use_tap,
+            )
+
+            info = {
+                "radii": aux["radii"],
+                "width": batch["image"].shape[2],
+                "height": batch["image"].shape[1],
+            }
+            if use_tap:
+                self.strategy_state = self.strategy.update_state(
+                    self.strategy_state, info, aux["v_means2d"][:, 0]
+                )
+            self.splats, self.opt_state, self.strategy_state = (
+                self.strategy.step_post_backward(
+                    self.splats, self.opt_state, self.strategy_state, step,
+                    info, k_strat,
+                    lr=float(lr_dict["means"]),
+                )
+            )
+
+            if step % cfg.tb_every == 0 or step == max_steps:
+                history.append({"step": step, "loss": float(loss)})
+
+            if step in cfg.eval_steps:
+                self.eval(step)
+            if step in cfg.save_steps:
+                self.save_checkpoint(step)
+
+        wall = time.time() - t0
+        return {"history": history, "wall_time_s": wall}
+
+    # ------------------------------------------------------------------
+    def eval(self, step: int) -> Dict[str, float]:
+        cfg = self.cfg
+        metrics = defaultdict(list)
+        t0 = time.time()
+        for i in range(len(self.valset)):
+            d = self.valset[i]
+            H, W = d["image"].shape[:2]
+            img, alpha, _ = self.rasterize_splats(
+                self.splats,
+                jnp.asarray(d["viewmat"])[None],
+                jnp.asarray(d["K"])[None],
+                W, H, cfg.sh_degree,
+            )
+            pred = jnp.clip(img[0], 0.0, 1.0)
+            gt = jnp.asarray(d["image"])
+            metrics["psnr"].append(float(L.psnr(pred, gt)))
+            metrics["ssim"].append(float(L.ssim(pred[None], gt[None])))
+        ellipse = (time.time() - t0) / max(len(self.valset), 1)
+        out = {k: float(np.mean(v)) for k, v in metrics.items()}
+        out["ellipse_time"] = ellipse
+        out["num_GS"] = int(
+            np.asarray(G.alive_mask(self.splats)).sum()
+        )
+        with open(os.path.join(self.stats_dir, f"val_step{step}.json"), "w") as f:
+            json.dump(out, f)
+        return out
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, step: int):
+        """Full-state checkpoint: splats + optimizer + strategy counters.
+        (Improves on the reference, whose --ckpt resume is eval-only —
+        SURVEY.md §5 checkpoint/resume.)"""
+        import pickle
+
+        state = {
+            "step": step,
+            "splats": jax.tree.map(np.asarray, self.splats),
+            "opt_state": jax.tree.map(np.asarray, self.opt_state),
+            "strategy_state": {
+                k: (np.asarray(v) if isinstance(v, jnp.ndarray) else v)
+                for k, v in self.strategy_state.items()
+            },
+        }
+        with open(os.path.join(self.ckpt_dir, f"ckpt_{step}.pkl"), "wb") as f:
+            pickle.dump(state, f)
+
+    def load_checkpoint(self, path: str) -> int:
+        import pickle
+
+        with open(path, "rb") as f:
+            state = pickle.load(f)
+        self.splats = jax.tree.map(jnp.asarray, state["splats"])
+        self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
+        self.strategy_state.update(state["strategy_state"])
+        return state["step"]

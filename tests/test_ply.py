@@ -1,0 +1,70 @@
+import numpy as np
+
+from tdgs.utils.ply import (
+    export_splats,
+    load_ply,
+    morton_sort_centers,
+    save_ply,
+    save_splat,
+)
+
+
+def make_splats(rng, n=50, k=16):
+    return dict(
+        means=rng.normal(size=(n, 3)).astype(np.float32),
+        scales=rng.normal(size=(n, 3)).astype(np.float32),
+        quats=rng.normal(size=(n, 4)).astype(np.float32),
+        opacities=rng.normal(size=(n,)).astype(np.float32),
+        sh0=rng.normal(size=(n, 1, 3)).astype(np.float32),
+        shN=rng.normal(size=(n, k - 1, 3)).astype(np.float32),
+    )
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(80)
+    s = make_splats(rng)
+    path = str(tmp_path / "test.ply")
+    save_ply(path, **s)
+    out = load_ply(path)
+    for k in s:
+        np.testing.assert_allclose(out[k].reshape(s[k].shape), s[k], rtol=1e-6)
+
+
+def test_ply_extra_properties(tmp_path):
+    rng = np.random.default_rng(81)
+    s = make_splats(rng, n=20)
+    ident = rng.normal(size=(20, 16)).astype(np.float32)
+    path = str(tmp_path / "test.ply")
+    save_ply(path, **s, extra={"identity_encodings": ident})
+    out = load_ply(path)
+    np.testing.assert_allclose(out["identity_encodings"], ident, rtol=1e-6)
+
+
+def test_splat_format_size(tmp_path):
+    rng = np.random.default_rng(82)
+    s = make_splats(rng, n=33)
+    path = str(tmp_path / "test.splat")
+    save_splat(path, s["means"], s["scales"], s["quats"], s["opacities"], s["sh0"])
+    import os
+
+    assert os.path.getsize(path) == 33 * 32  # 32 bytes per splat
+
+
+def test_morton_sort_locality():
+    rng = np.random.default_rng(83)
+    pts = rng.uniform(size=(2000, 3)).astype(np.float32)
+    order = morton_sort_centers(pts)
+    sorted_pts = pts[order]
+    # consecutive points in morton order are much closer than random order
+    d_sorted = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1).mean()
+    d_orig = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
+    assert d_sorted < 0.5 * d_orig
+
+
+def test_export_splats_api(tmp_path):
+    rng = np.random.default_rng(84)
+    s = make_splats(rng, n=10)
+    export_splats(**s, format="ply", save_to=str(tmp_path / "a.ply"))
+    export_splats(**s, format="splat", save_to=str(tmp_path / "a.splat"))
+    out = load_ply(str(tmp_path / "a.ply"))
+    assert out["means"].shape == (10, 3)
