@@ -67,15 +67,20 @@ def main():
         return img, alpha, meta["n_dropped"]
 
     fn = jax.jit(render)
-    args = (means, quats, scales, opacities, sh, viewmats, Ks)
+    args = [means, quats, scales, opacities, sh, viewmats, Ks]
     img, alpha, n_dropped = fn(*args)
-    jax.block_until_ready(img)
+    # NB: through the axon tunnel, block_until_ready returns before device
+    # execution completes — a host readback is the only honest sync.
+    np.asarray(img.ravel()[:8])
 
-    n_iters = 20
+    n_iters = 10
     t0 = time.perf_counter()
-    for _ in range(n_iters):
+    for i in range(n_iters):
+        # vary an input so no layer can cache; chain via tiny readback-free
+        # dependency is not enough — the final readback bounds all of them.
+        args[3] = opacities * (1.0 + 1e-5 * i)
         img, alpha, _ = fn(*args)
-    jax.block_until_ready(img)
+    np.asarray(img.ravel()[:8])
     dt = time.perf_counter() - t0
     fps = n_iters / dt
 
