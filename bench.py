@@ -59,30 +59,41 @@ def main():
             means, quats, scales, opacities, sh, viewmats, Ks,
             WIDTH, HEIGHT,
             sh_degree=3,
-            rasterizer="pallas" if use_pallas else "jax",
-            isect_capacity=1 << 21,
-            tile_capacity=512,
-            max_tiles_per_gauss=32,
+            rasterizer="packed" if use_pallas else "jax",
+            tile_capacity=1024,
+            max_tiles_per_gauss=16,
         )
         return img, alpha, meta["n_dropped"]
 
-    fn = jax.jit(render)
-    args = [means, quats, scales, opacities, sh, viewmats, Ks]
-    img, alpha, n_dropped = fn(*args)
+    n_frames = 20
+
+    # The real dynamic-render loop runs frames on-device (lax.scan inside
+    # one jit, like tdgs.physics.make_step_and_render); benchmarking the
+    # same way keeps the remote-tunnel dispatch overhead (~25 ms/dispatch)
+    # out of the per-frame number. Each frame perturbs the opacities so no
+    # frame can be elided.
+    def render_frames(means, quats, scales, opacities, sh, viewmats, Ks):
+        def frame(carry, i):
+            img, alpha, _ = render(
+                means, quats, scales,
+                opacities * (1.0 + 1e-5 * i.astype(jnp.float32)),
+                sh, viewmats, Ks,
+            )
+            return carry + img.mean(), None
+
+        acc, _ = jax.lax.scan(frame, jnp.zeros(()), jnp.arange(n_frames))
+        return acc
+
+    fn = jax.jit(render_frames)
+    args = (means, quats, scales, opacities, sh, viewmats, Ks)
     # NB: through the axon tunnel, block_until_ready returns before device
     # execution completes — a host readback is the only honest sync.
-    np.asarray(img.ravel()[:8])
+    np.asarray(fn(*args))
 
-    n_iters = 10
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        # vary an input so no layer can cache; chain via tiny readback-free
-        # dependency is not enough — the final readback bounds all of them.
-        args[3] = opacities * (1.0 + 1e-5 * i)
-        img, alpha, _ = fn(*args)
-    np.asarray(img.ravel()[:8])
+    np.asarray(fn(*args))
     dt = time.perf_counter() - t0
-    fps = n_iters / dt
+    fps = n_frames / dt
 
     print(
         json.dumps(

@@ -1,0 +1,3 @@
+from tdgs.compression.png_compression import PngCompression
+
+__all__ = ["PngCompression"]

@@ -187,6 +187,60 @@ def rasterization(
     # the sort order and offsets are integer plumbing.
     tile_width = math.ceil(width / float(tile_size))
     tile_height = math.ceil(height / float(tile_size))
+
+    if rasterizer == "packed":
+        # Fast path: packed single-key sort + streaming Pallas kernel.
+        from tdgs.ops.rasterize_pallas_packed import rasterize_to_pixels_packed
+        from tdgs.ops.tiling import isect_tiles_packed
+
+        isect_p = isect_tiles_packed(
+            jax.lax.stop_gradient(means2d),
+            radii,
+            jax.lax.stop_gradient(depths),
+            tile_size,
+            tile_width,
+            tile_height,
+            max_tiles_per_gauss=max_tiles_per_gauss,
+        )
+        meta.update(
+            {
+                "tile_width": tile_width,
+                "tile_height": tile_height,
+                "isect_ids": isect_p.isect_keys,
+                "flatten_ids": isect_p.flatten_ids,
+                "isect_offsets": isect_p.offsets,
+                "n_isects": isect_p.n_isects,
+                "n_dropped": isect_p.n_dropped,
+                "width": width,
+                "height": height,
+                "tile_size": tile_size,
+                "n_batches": B,
+                "n_cameras": C,
+            }
+        )
+        render_colors, render_alphas = rasterize_to_pixels_packed(
+            means2d,
+            conics,
+            colors_cn,
+            opacities_cn,
+            width,
+            height,
+            tile_size,
+            isect_p.offsets,
+            isect_p.flatten_ids,
+            backgrounds=backgrounds,
+            tile_capacity=tile_capacity,
+        )
+        if render_mode in ("ED", "RGB+ED"):
+            render_colors = jnp.concatenate(
+                [
+                    render_colors[..., :-1],
+                    render_colors[..., -1:] / jnp.maximum(render_alphas, 1e-10),
+                ],
+                axis=-1,
+            )
+        return render_colors, render_alphas, meta
+
     if isect_capacity is None:
         isect_capacity = default_isect_capacity(I, N)
 
@@ -257,3 +311,165 @@ def rasterization(
         )
 
     return render_colors, render_alphas, meta
+
+
+def rasterization_2dgs(
+    means: jnp.ndarray,  # [..., N, 3]
+    quats: jnp.ndarray,  # [..., N, 4]
+    scales: jnp.ndarray,  # [..., N, 3] (z unused)
+    opacities: jnp.ndarray,  # [..., N]
+    colors: jnp.ndarray,  # [..., (C,) N, D] or [..., (C,) N, K, 3]
+    viewmats: jnp.ndarray,  # [..., C, 4, 4]
+    Ks: jnp.ndarray,  # [..., C, 3, 3]
+    width: int,
+    height: int,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    sh_degree: Optional[int] = None,
+    tile_size: int = 16,
+    backgrounds: Optional[jnp.ndarray] = None,
+    render_mode: str = "RGB",
+    distloss: bool = False,
+    depth_mode: str = "expected",
+    isect_capacity: Optional[int] = None,
+    tile_capacity: int = 512,
+    max_tiles_per_gauss: int = 32,
+) -> Tuple[jnp.ndarray, ...]:
+    """Rasterize 2D (surfel) Gaussians — API parity with the reference's
+    ``rasterization_2dgs`` (gsplat/rendering.py:1270): returns
+    (render_colors, render_alphas, render_normals [world frame],
+    render_normals_from_depth, render_distort, render_median, meta)."""
+    from tdgs.ops.projection_2dgs import fully_fused_projection_2dgs
+    from tdgs.ops.rasterize_2dgs_jax import rasterize_to_pixels_2dgs_jax
+    from tdgs.utils.depth import depth_to_normal
+
+    meta: Dict = {}
+    batch_dims = means.shape[:-2]
+    num_batch_dims = len(batch_dims)
+    B = math.prod(batch_dims) if batch_dims else 1
+    N = means.shape[-2]
+    C = viewmats.shape[-3]
+    I = B * C
+    assert render_mode in RENDER_MODES, render_mode
+
+    radii, means2d, depths, ray_transforms, normals = fully_fused_projection_2dgs(
+        means, quats, scales, viewmats, Ks, width, height,
+        near_plane=near_plane, far_plane=far_plane, radius_clip=radius_clip,
+    )
+    opacities_cn = jnp.broadcast_to(opacities[..., None, :], batch_dims + (C, N))
+
+    if sh_degree is None:
+        if colors.ndim == num_batch_dims + 2:
+            colors_cn = jnp.broadcast_to(
+                colors[..., None, :, :], batch_dims + (C, N, colors.shape[-1])
+            )
+        else:
+            colors_cn = colors
+    else:
+        campos = jnp.linalg.inv(viewmats)[..., :3, 3]
+        dirs = means[..., None, :, :] - campos[..., :, None, :]
+        masks = (radii > 0).all(axis=-1)
+        if colors.ndim == num_batch_dims + 3:
+            shs = jnp.broadcast_to(
+                colors[..., None, :, :, :], batch_dims + (C, N) + colors.shape[-2:]
+            )
+        else:
+            shs = colors
+        colors_cn = spherical_harmonics(sh_degree, dirs, shs, masks=masks)
+        colors_cn = jnp.maximum(colors_cn + 0.5, 0.0)
+
+    # depth channel appended when needed (also feeds distortion/median)
+    need_depth = distloss or render_mode in ("D", "ED", "RGB+D", "RGB+ED")
+    if render_mode in ("D", "ED"):
+        colors_cn = depths[..., None]
+    elif need_depth:
+        colors_cn = jnp.concatenate([colors_cn, depths[..., None]], axis=-1)
+    if backgrounds is not None and need_depth and render_mode not in ("D", "ED"):
+        backgrounds = jnp.concatenate(
+            [backgrounds, jnp.zeros(batch_dims + (C, 1), backgrounds.dtype)],
+            axis=-1,
+        )
+    elif backgrounds is not None and render_mode in ("D", "ED"):
+        backgrounds = jnp.zeros(batch_dims + (C, 1), backgrounds.dtype)
+
+    tile_width = math.ceil(width / float(tile_size))
+    tile_height = math.ceil(height / float(tile_size))
+    if isect_capacity is None:
+        isect_capacity = default_isect_capacity(I, N)
+    isect = isect_tiles(
+        jax.lax.stop_gradient(means2d), radii, jax.lax.stop_gradient(depths),
+        tile_size, tile_width, tile_height,
+        capacity=isect_capacity, max_tiles_per_gauss=max_tiles_per_gauss,
+    )
+    isect_offsets = isect_offset_encode(isect.isect_keys, I, tile_width, tile_height)
+
+    (render_colors, render_alphas, render_normals_cam, render_distort,
+     render_median) = rasterize_to_pixels_2dgs_jax(
+        means2d, ray_transforms, colors_cn, normals, opacities_cn,
+        width, height, tile_size, isect_offsets, isect.flatten_ids,
+        isect.n_isects, backgrounds=backgrounds, tile_capacity=tile_capacity,
+        compute_distort=distloss or need_depth,
+    )
+
+    if render_mode in ("ED", "RGB+ED"):
+        render_colors = jnp.concatenate(
+            [
+                render_colors[..., :-1],
+                render_colors[..., -1:] / jnp.maximum(render_alphas, 1e-10),
+            ],
+            axis=-1,
+        )
+
+    render_normals_from_depth = None
+    if render_mode in ("RGB+ED", "RGB+D"):
+        depth_for_normal = (
+            render_colors[..., -1:] if depth_mode == "expected" else render_median
+        )
+        render_normals_from_depth = depth_to_normal(
+            depth_for_normal, jnp.linalg.inv(viewmats), Ks
+        )
+
+    meta.update(
+        {
+            "radii": radii,
+            "means2d": means2d,
+            "depths": depths,
+            "ray_transforms": ray_transforms,
+            "opacities": opacities_cn,
+            "normals": normals,
+            "tile_width": tile_width,
+            "tile_height": tile_height,
+            "tiles_per_gauss": isect.tiles_per_gauss,
+            "isect_ids": isect.isect_keys,
+            "flatten_ids": isect.flatten_ids,
+            "isect_offsets": isect_offsets.reshape(
+                batch_dims + (C, tile_height, tile_width)
+            ),
+            "n_isects": isect.n_isects,
+            "n_dropped": isect.n_dropped,
+            "width": width,
+            "height": height,
+            "tile_size": tile_size,
+            "n_cameras": C,
+            "render_distort": render_distort,
+        }
+    )
+
+    # normals to world frame (reference rendering.py:1615-1617)
+    render_normals = jnp.einsum(
+        "...ij,...hwj->...hwi",
+        jnp.linalg.inv(viewmats)[..., :3, :3],
+        render_normals_cam,
+        precision="highest",
+    )
+
+    return (
+        render_colors,
+        render_alphas,
+        render_normals,
+        render_normals_from_depth,
+        render_distort,
+        render_median,
+        meta,
+    )
