@@ -1,0 +1,87 @@
+"""3DGS training CLI (reference: examples/simple_trainer.py tyro CLI with
+default/mcmc presets; tyro is unavailable in this image so this is argparse
+over tdgs.training.Config — every flag keeps its reference name).
+
+    python examples/simple_trainer.py mcmc --data-dir data/360_v2/garden \\
+        --data-factor 4 --result-dir results/garden
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tdgs.strategy import DefaultStrategy, MCMCStrategy
+from tdgs.training.config import Config
+from tdgs.training.trainer import Runner
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("preset", choices=["default", "mcmc"], nargs="?",
+                    default="default")
+    for f in dataclasses.fields(Config):
+        if f.name == "strategy":
+            continue
+        arg = "--" + f.name.replace("_", "-")
+        if f.type == "bool" or isinstance(f.default, bool):
+            ap.add_argument(arg, action="store_true" if not f.default
+                            else "store_false", dest=f.name)
+        elif isinstance(f.default, (int, float, str)) or f.default is None:
+            t = type(f.default) if f.default is not None else str
+            ap.add_argument(arg, type=t if t is not type(None) else str,
+                            default=None, dest=f.name)
+        # list fields: comma separated
+        elif isinstance(f.default_factory(), list) if f.default_factory is not dataclasses.MISSING else False:
+            ap.add_argument(arg, type=str, default=None, dest=f.name)
+    ap.add_argument("--cap-max", type=int, default=1_000_000)
+    ap.add_argument("--ckpt", type=str, default=None,
+                    help="checkpoint to load for eval-only")
+    return ap
+
+
+def main():
+    ap = build_parser()
+    args = ap.parse_args()
+
+    if args.preset == "mcmc":
+        # reference mcmc preset (simple_trainer.py:1597-1618): MCMC strategy,
+        # opacity/scale regularizers, lower init opacity
+        strategy = MCMCStrategy(cap_max=args.cap_max)
+        overrides = dict(init_opa=0.5, init_scale=0.1,
+                         opacity_reg=0.01, scale_reg=0.01)
+    else:
+        strategy = DefaultStrategy(verbose=True)
+        overrides = {}
+
+    cfg_kwargs = dict(overrides)
+    for f in dataclasses.fields(Config):
+        v = getattr(args, f.name, None)
+        if v is None or f.name == "strategy":
+            continue
+        if isinstance(v, str) and isinstance(
+            getattr(Config, f.name, None), list
+        ):
+            v = [int(x) for x in v.split(",")]
+        cfg_kwargs[f.name] = v
+    cfg = Config(strategy=strategy, **cfg_kwargs)
+
+    runner = Runner(cfg)
+    if args.ckpt:
+        step = runner.load_checkpoint(args.ckpt)
+        stats = runner.eval(step)
+        print(json.dumps(stats))
+        return
+    out = runner.train()
+    print(json.dumps(out["history"][-3:]))
+    stats = runner.eval(cfg.max_steps)
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,11 @@ State is a pytree of (x, q, v, w) per body; every step is one fixed-shape
 jit program (static body count, masked contacts) so it scans/jits cleanly.
 """
 
-from tdgs.physics.bodies import RigidBodies, extract_bodies_from_splats
+from tdgs.physics.bodies import (
+    RigidBodies,
+    extract_bodies_from_splats,
+    settle_on_ground,
+)
 from tdgs.physics.engine import (
     PhysicsParams,
     physics_step,
@@ -31,6 +35,7 @@ from tdgs.physics.splat_binding import (
 __all__ = [
     "RigidBodies",
     "extract_bodies_from_splats",
+    "settle_on_ground",
     "PhysicsParams",
     "physics_step",
     "simulate",

@@ -68,6 +68,7 @@ def body_from_gaussians(
     covars: jnp.ndarray,  # [n, 3, 3]
     masses: jnp.ndarray,  # [n]
     total_mass: float = 1.0,
+    sigma_pad: float = 1.5,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (mass, com, inertia_world, R_obb, half_extents)."""
     m = masses / jnp.maximum(masses.sum(), 1e-12) * total_mass
@@ -85,13 +86,41 @@ def body_from_gaussians(
     det = jnp.linalg.det(R)
     R = jnp.where(det < 0, R.at[:, 2].set(-R[:, 2]), R)
 
-    # extents: cover means projections plus 2σ of each gaussian along axes
+    # extents: cover means projections plus sigma_pad·σ of each gaussian
     proj = d @ R  # [n, 3] body-frame offsets
     sigma_axis = jnp.sqrt(
         jnp.clip(jnp.einsum("ia,nij,ja->na", R, covars, R), 0.0, None)
     )  # [n, 3] per-gaussian std along each axis
-    half = jnp.max(jnp.abs(proj) + 2.0 * sigma_axis, axis=0)
+    half = jnp.max(jnp.abs(proj) + sigma_pad * sigma_axis, axis=0)
     return jnp.asarray(total_mass), com, inertia, R, half
+
+
+def settle_on_ground(bodies: "RigidBodies", slop: float = 1e-3) -> "RigidBodies":
+    """Lift each body so its lowest OBB corner rests at z = slop.
+
+    Splat-extracted OBBs are σ-padded beyond the visible surface, so bodies
+    typically start penetrated into the z=0 ground plane; the resulting
+    penetration-recovery impulses + friction can absorb an initial push
+    entirely. Lifting to rest makes the dynamics start clean."""
+    from tdgs.ops.transforms import quat_to_rotmat
+
+    R = quat_to_rotmat(bodies.q0)  # [B, 3, 3]
+    local = _CORNER_SIGNS[None, :, :] * bodies.half_extents[:, None, :]
+    corners = bodies.com0[:, None, :] + jnp.einsum("bij,bkj->bki", R, local)
+    min_z = jnp.min(corners[..., 2], axis=1)  # [B]
+    lift = jnp.maximum(slop - min_z, 0.0)
+    com0 = bodies.com0.at[:, 2].add(lift)
+    return bodies._replace(com0=com0)
+
+
+_CORNER_SIGNS = jnp.array(
+    [
+        [sx, sy, sz]
+        for sx in (-1.0, 1.0)
+        for sy in (-1.0, 1.0)
+        for sz in (-1.0, 1.0)
+    ]
+)
 
 
 def extract_bodies_from_splats(

@@ -25,7 +25,9 @@ import jax.numpy as jnp
 
 
 def _normalize(x, axis=-1, eps=1e-12):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+    # sqrt(Σx²+ε) instead of norm: jnp.linalg.norm has a NaN gradient at 0,
+    # and background pixels render exactly-zero feature vectors.
+    return x * jax.lax.rsqrt(jnp.sum(x * x, axis=axis, keepdims=True) + eps)
 
 
 def cgc_contrastive_clustering_loss(

@@ -118,12 +118,27 @@ class Runner:
         self.scene_scale = self.parser.scene_scale * 1.1 * cfg.init_extent / 3.0
 
         key = jax.random.PRNGKey(cfg.seed)
-        self.key, init_key = jax.random.split(key)
+        self.key, init_key, seg_key = jax.random.split(key, 3)
         self.splats = self._init_splats(init_key)
         self.capacity = self.splats["means"].shape[0]
 
         self.optimizer = SplatOptimizer(cfg, self.scene_scale, cfg.max_steps)
         self.opt_state = self.optimizer.init(self.splats)
+
+        # identity-vector segmentation head (fork extension,
+        # reference simple_trainer.py:439-452)
+        self.seg_head = None
+        self.seg_opt_state = None
+        if cfg.with_segmentation:
+            from tdgs.segmentation import init_segmentation_head
+
+            self.seg_head = init_segmentation_head(
+                seg_key, cfg.identity_dim, 64, cfg.identity_dim
+            )
+            self.seg_opt_state = {
+                "mu": jax.tree.map(jnp.zeros_like, self.seg_head),
+                "nu": jax.tree.map(jnp.zeros_like, self.seg_head),
+            }
 
         self.strategy = cfg.strategy
         self.strategy.check_sanity(self.splats)
@@ -138,7 +153,10 @@ class Runner:
 
         self._train_step = jax.jit(
             self._train_step_impl, donate_argnums=(0, 1),
-            static_argnames=("sh_degree", "use_means2d_tap"),
+            static_argnames=(
+                "sh_degree", "use_means2d_tap", "use_seg_loss",
+                "use_spatial_reg",
+            ),
         )
 
     # ------------------------------------------------------------------
@@ -217,22 +235,23 @@ class Runner:
 
     # ------------------------------------------------------------------
     def _train_step_impl(
-        self, params, opt_state, batch, lr_dict, key,
-        sh_degree: int, use_means2d_tap: bool,
+        self, params, opt_state, seg_head, seg_opt_state, batch, lr_dict,
+        key, sh_degree: int, use_means2d_tap: bool,
+        use_seg_loss: bool = False, use_spatial_reg: bool = False,
     ):
         cfg = self.cfg
         images = batch["image"]  # [B, H, W, 3]
         B, H, W = images.shape[:3]
         render_mode = "RGB+ED" if cfg.depth_loss else "RGB"
 
-        k_bkgd, key = jax.random.split(key)
+        k_bkgd, k_spatial, key = jax.random.split(key, 3)
         backgrounds = (
             jax.random.uniform(k_bkgd, (B, 3))
             if cfg.random_bkgd
             else None
         )
 
-        def loss_fn(params, means2d_offset):
+        def loss_fn(params, seg_head, means2d_offset):
             img, alpha, meta = self.rasterize_splats(
                 params, batch["viewmat"], batch["K"], W, H, sh_degree,
                 means2d_offset=means2d_offset if use_means2d_tap else None,
@@ -254,6 +273,35 @@ class Runner:
                 loss = loss + cfg.scale_reg * jnp.mean(
                     jnp.abs(jnp.exp(params["scales"]))
                 )
+            if use_seg_loss or use_spatial_reg:
+                # second full render through the N-D feature path
+                # (reference simple_trainer.py:945-975)
+                from tdgs.segmentation import (
+                    apply_segmentation_head,
+                    cgc_contrastive_clustering_loss,
+                    cgc_spatial_regularizer,
+                )
+
+                feats = apply_segmentation_head(
+                    seg_head, params["identity_encodings"]
+                )
+                if use_seg_loss:
+                    feat_map, _, _ = self.rasterize_splats(
+                        params, batch["viewmat"], batch["K"], W, H,
+                        sh_degree, override_features=feats,
+                    )
+                    seg = 0.0
+                    for b in range(B):
+                        seg = seg + cgc_contrastive_clustering_loss(
+                            feat_map[b], batch["instance_mask"][b]
+                        )
+                    loss = loss + cfg.seg_loss_weight * seg / B
+                if use_spatial_reg:
+                    loss = loss + cfg.seg_spatial_weight * (
+                        cgc_spatial_regularizer(
+                            feats, params["means"], k_spatial
+                        )
+                    )
             aux = {
                 "radii": meta["radii"],
                 "n_dropped": meta["n_dropped"],
@@ -263,18 +311,29 @@ class Runner:
 
         C = params["means"].shape[0]
         tap = jnp.zeros((B, 1, C, 2)) if use_means2d_tap else jnp.zeros(())
+        seg_in = seg_head if seg_head is not None else {}
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1), has_aux=True
-        )(params, tap)
-        g_params, g_tap = grads
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(params, seg_in, tap)
+        g_params, g_seg, g_tap = grads
 
         visibility = (aux["radii"] > 0).all(-1).any(axis=tuple(range(aux["radii"].ndim - 2)))
         params, opt_state = self.optimizer.update(
             g_params, opt_state, params, lr_dict, visibility=visibility
         )
+        if seg_head is not None and (use_seg_loss or use_spatial_reg):
+            new_head, new_mu, new_nu = {}, {}, {}
+            for k, g in g_seg.items():
+                mu = 0.9 * seg_opt_state["mu"][k] + 0.1 * g
+                nu = 0.999 * seg_opt_state["nu"][k] + 0.001 * g * g
+                new_head[k] = seg_head[k] - 1e-3 * mu / (jnp.sqrt(nu) + 1e-15)
+                new_mu[k] = mu
+                new_nu[k] = nu
+            seg_head = new_head
+            seg_opt_state = {"mu": new_mu, "nu": new_nu}
         aux["v_means2d"] = g_tap
         aux["visibility"] = visibility
-        return params, opt_state, loss, aux
+        return params, opt_state, seg_head, seg_opt_state, loss, aux
 
     # ------------------------------------------------------------------
     def _make_batch(self, indices) -> Dict[str, jnp.ndarray]:
@@ -330,6 +389,23 @@ class Runner:
                 b2 = self._make_batch(idx)
                 batch.update({k: b2[k] for k in ("points", "depths", "points_valid")})
 
+            # segmentation loss cadence (reference simple_trainer.py:945-975)
+            use_seg = (
+                cfg.with_segmentation
+                and step >= cfg.seg_start_iter
+                and step % cfg.seg_loss_every == 0
+                and all("instance_mask" in it for it in items)
+            )
+            use_spatial = (
+                cfg.with_segmentation
+                and step >= cfg.seg_start_iter
+                and step % cfg.seg_spatial_every == 0
+            )
+            if use_seg:
+                batch["instance_mask"] = jnp.asarray(
+                    np.stack([it["instance_mask"] for it in items]).astype(np.int32)
+                )
+
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
             use_tap = isinstance(self.strategy, DefaultStrategy)
             lr_dict = {
@@ -338,9 +414,12 @@ class Runner:
             }
             self.key, k_step, k_strat = jax.random.split(self.key, 3)
 
-            self.splats, self.opt_state, loss, aux = self._train_step(
-                self.splats, self.opt_state, batch, lr_dict, k_step,
+            (self.splats, self.opt_state, self.seg_head, self.seg_opt_state,
+             loss, aux) = self._train_step(
+                self.splats, self.opt_state, self.seg_head, self.seg_opt_state,
+                batch, lr_dict, k_step,
                 sh_degree=sh_degree, use_means2d_tap=use_tap,
+                use_seg_loss=use_seg, use_spatial_reg=use_spatial,
             )
 
             info = {
@@ -415,6 +494,8 @@ class Runner:
                 for k, v in self.strategy_state.items()
             },
         }
+        if self.seg_head is not None:
+            state["segmentation_head"] = jax.tree.map(np.asarray, self.seg_head)
         with open(os.path.join(self.ckpt_dir, f"ckpt_{step}.pkl"), "wb") as f:
             pickle.dump(state, f)
 
@@ -426,4 +507,28 @@ class Runner:
         self.splats = jax.tree.map(jnp.asarray, state["splats"])
         self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
         self.strategy_state.update(state["strategy_state"])
+        if "segmentation_head" in state:
+            self.seg_head = jax.tree.map(jnp.asarray, state["segmentation_head"])
         return state["step"]
+
+    # ------------------------------------------------------------------
+    def render_identity_map(self, view_index: int = 0) -> np.ndarray:
+        """Render per-pixel identity features for one training view
+        (reference load_identity_encodings.py:get_identity_map_from_checkpoint:
+        re-render MLP(identity_encodings) through the N-D feature path)."""
+        from tdgs.segmentation import apply_segmentation_head
+
+        assert self.seg_head is not None, "segmentation not enabled"
+        d = self.trainset[view_index]
+        H, W = d["image"].shape[:2]
+        feats = apply_segmentation_head(
+            self.seg_head, self.splats["identity_encodings"]
+        )
+        fmap, _, _ = self.rasterize_splats(
+            self.splats,
+            jnp.asarray(d["viewmat"])[None],
+            jnp.asarray(d["K"])[None],
+            W, H, self.cfg.sh_degree,
+            override_features=feats,
+        )
+        return np.asarray(fmap[0])

@@ -139,3 +139,22 @@ def test_physics_rate_is_jittable_scan():
     final, traj = simulate(st, body, params, 240)
     assert traj.x.shape == (240, 1, 3)
     assert np.isfinite(np.asarray(final.x)).all()
+
+
+def test_domino_chain_of_four():
+    """Full rally: one push topples a 4-domino chain (splat-like padded
+    proportions, the main.py demo geometry)."""
+    h = [0.055, 0.21, 0.42]
+    ds = [
+        make_box_body([h[0], h[1], h[2]], position=[i * 0.42, 0, h[2]])
+        for i in range(4)
+    ]
+    bodies = stack_bodies(*ds)
+    st = initial_state(bodies)._replace(
+        w=jnp.zeros((4, 3)).at[0, 1].set(7.0)
+    )
+    params = PhysicsParams(dt=1 / 240, friction=0.5)
+    final, _ = simulate(st, bodies, params, 1440)
+    for i in range(4):
+        R = np.asarray(quat_to_rotmat(final.q[i]))
+        assert abs(R[2, 2]) < 0.5, (i, R[2, 2])  # all toppled
