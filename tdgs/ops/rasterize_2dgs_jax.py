@@ -84,10 +84,13 @@ def rasterize_to_pixels_2dgs_jax(
     h_u = -M0 + M2 * px[:, :, None, None]  # [T, P, cap, 3]
     h_v = -M1 + M2 * py[:, :, None, None]
     tmp = jnp.cross(h_u, h_v)
-    tz = jnp.where(tmp[..., 2] == 0.0, 1e-12, tmp[..., 2])
+    # sanitize the denominator BEFORE dividing: jnp.where alone doesn't
+    # block NaN/inf gradients of the unselected branch
+    bad = jnp.abs(tmp[..., 2]) < 1e-9
+    tz = jnp.where(bad, 1.0, tmp[..., 2])
     us = tmp[..., 0] / tz
     vs = tmp[..., 1] / tz
-    sigma3d = us * us + vs * vs
+    sigma3d = jnp.where(bad, 1e6, us * us + vs * vs)
     dx = px[:, :, None] - g_means[:, None, :, 0]
     dy = py[:, :, None] - g_means[:, None, :, 1]
     sigma2d = 2.0 * (dx * dx + dy * dy)

@@ -46,7 +46,7 @@ class PhysicsParams(NamedTuple):
     baumgarte: float = 0.2
     slop: float = 1e-4
     max_bias: float = 0.5  # cap on positional-correction velocity (m/s)
-    solver_iters: int = 16
+    solver_iters: int = 8  # mass-split Jacobi converges for domino scenes by 8
     relaxation: float = 1.0
 
 

@@ -66,6 +66,13 @@ def rasterization(
     max_tiles_per_gauss: int = 32,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
+    with_ut: bool = False,
+    radial_coeffs: Optional[jnp.ndarray] = None,  # [..., C, 6] or [..., C, 4]
+    tangential_coeffs: Optional[jnp.ndarray] = None,  # [..., C, 2]
+    thin_prism_coeffs: Optional[jnp.ndarray] = None,  # [..., C, 4]
+    ftheta_coeffs=None,
+    rolling_shutter=None,
+    viewmats_rs: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Rasterize N 3D Gaussians to C cameras (arbitrary leading batch dims).
 
@@ -104,23 +111,45 @@ def rasterization(
 
     calc_compensations = rasterize_mode == "antialiased"
 
-    radii, means2d, depths, conics, compensations = fully_fused_projection(
-        means,
-        quats,
-        scales,
-        viewmats,
-        Ks,
-        width,
-        height,
-        eps2d=eps2d,
-        near_plane=near_plane,
-        far_plane=far_plane,
-        radius_clip=radius_clip,
-        calc_compensations=calc_compensations,
-        camera_model=camera_model,
-        opacities=opacities,
-        covars=covars,
-    )  # [..., C, N, ...]
+    if with_ut:
+        # UT projection (3DGUT): distorted cameras + rolling shutter
+        from tdgs.ops.camera_models import RollingShutterType
+        from tdgs.ops.projection_ut import fully_fused_projection_with_ut
+
+        assert covars is None, "with_ut requires quats/scales"
+        radii, means2d, depths, conics, compensations = (
+            fully_fused_projection_with_ut(
+                means, quats, scales, opacities, viewmats, Ks, width, height,
+                eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+                radius_clip=radius_clip,
+                calc_compensations=calc_compensations,
+                camera_model=camera_model,
+                radial_coeffs=radial_coeffs,
+                tangential_coeffs=tangential_coeffs,
+                thin_prism_coeffs=thin_prism_coeffs,
+                ftheta_coeffs=ftheta_coeffs,
+                rolling_shutter=rolling_shutter or RollingShutterType.GLOBAL,
+                viewmats_rs=viewmats_rs,
+            )
+        )
+    else:
+        radii, means2d, depths, conics, compensations = fully_fused_projection(
+            means,
+            quats,
+            scales,
+            viewmats,
+            Ks,
+            width,
+            height,
+            eps2d=eps2d,
+            near_plane=near_plane,
+            far_plane=far_plane,
+            radius_clip=radius_clip,
+            calc_compensations=calc_compensations,
+            camera_model=camera_model,
+            opacities=opacities,
+            covars=covars,
+        )  # [..., C, N, ...]
 
     if means2d_offset is not None:
         # Zero-valued tap: grad w.r.t. this argument IS the screen-space

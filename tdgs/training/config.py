@@ -53,6 +53,17 @@ class Config:
     isect_capacity: Optional[int] = None
     max_tiles_per_gauss: int = 32
 
+    # model family
+    model_type: Literal["3dgs", "2dgs"] = "3dgs"
+
+    # 2DGS losses (reference simple_trainer_2dgs.py:153-164)
+    normal_loss: bool = False
+    normal_lambda: float = 5e-2
+    normal_start_iter: int = 7_000
+    dist_loss: bool = False
+    dist_lambda: float = 1e-2
+    dist_start_iter: int = 3_000
+
     # losses
     ssim_lambda: float = 0.2
     random_bkgd: bool = False

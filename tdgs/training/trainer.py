@@ -215,7 +215,20 @@ class Runner:
             sh_deg = sh_degree
         rasterizer = cfg.rasterizer
         if rasterizer == "auto":
-            rasterizer = "pallas" if jax.default_backend() == "tpu" else "jax"
+            rasterizer = "packed" if jax.default_backend() == "tpu" else "jax"
+        if cfg.model_type == "2dgs" and override_features is None:
+            from tdgs.rendering import rasterization_2dgs
+
+            out = rasterization_2dgs(
+                means, quats, scales, opacities, colors, viewmats, Ks,
+                width, height, sh_degree=sh_deg,
+                near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                render_mode=render_mode, backgrounds=backgrounds,
+                tile_capacity=cfg.tile_capacity,
+                isect_capacity=cfg.isect_capacity,
+                max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+            )
+            return out[0], out[1], out[6]
         return rasterization(
             means, quats, scales, opacities, colors, viewmats, Ks,
             width, height,
@@ -252,6 +265,52 @@ class Runner:
         )
 
         def loss_fn(params, seg_head, means2d_offset):
+            if cfg.model_type == "2dgs":
+                # 2DGS trainer path (reference simple_trainer_2dgs.py):
+                # normal-consistency + distortion losses with warmup gates
+                from tdgs.rendering import rasterization_2dgs
+                from tdgs.models import gaussians as G2
+
+                means, quats, scales, opacities, sh = G2.splat_activations(params)
+                (img, alpha, normals, normals_from_depth, render_distort,
+                 render_median, meta) = rasterization_2dgs(
+                    means, quats, scales, opacities, sh,
+                    batch["viewmat"], batch["K"], W, H,
+                    sh_degree=sh_degree,
+                    render_mode="RGB+ED",
+                    distloss=cfg.dist_loss,
+                    tile_capacity=cfg.tile_capacity,
+                    isect_capacity=cfg.isect_capacity,
+                    max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                    backgrounds=backgrounds,
+                )
+                colors = img[..., :3]
+                loss = L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)
+                if cfg.normal_loss:
+                    nfd = normals_from_depth * jax.lax.stop_gradient(alpha)
+                    normal_err = 1.0 - jnp.sum(normals * nfd, axis=-1)
+                    loss = loss + lr_dict.get(
+                        "normal_lambda", jnp.float32(0.0)
+                    ) * normal_err.mean()
+                if cfg.dist_loss:
+                    loss = loss + lr_dict.get(
+                        "dist_lambda", jnp.float32(0.0)
+                    ) * render_distort.mean()
+                aux = {
+                    "radii": meta["radii"],
+                    "n_dropped": meta["n_dropped"],
+                    "img": colors,
+                }
+                if cfg.opacity_reg > 0:
+                    loss = loss + cfg.opacity_reg * jnp.mean(
+                        jnp.abs(jax.nn.sigmoid(params["opacities"]))
+                    )
+                if cfg.scale_reg > 0:
+                    loss = loss + cfg.scale_reg * jnp.mean(
+                        jnp.abs(jnp.exp(params["scales"]))
+                    )
+                return loss, aux
+
             img, alpha, meta = self.rasterize_splats(
                 params, batch["viewmat"], batch["K"], W, H, sh_degree,
                 means2d_offset=means2d_offset if use_means2d_tap else None,
@@ -412,6 +471,15 @@ class Runner:
                 k: jnp.float32(v) for k, v in self.optimizer.lr_at(step).items()
                 if k in self.splats
             }
+            if cfg.model_type == "2dgs":
+                # warmup-gated loss weights as dynamic scalars (no re-jit
+                # at the warmup boundary; reference trainer_2dgs.py:616-637)
+                lr_dict["normal_lambda"] = jnp.float32(
+                    cfg.normal_lambda if step > cfg.normal_start_iter else 0.0
+                )
+                lr_dict["dist_lambda"] = jnp.float32(
+                    cfg.dist_lambda if step > cfg.dist_start_iter else 0.0
+                )
             self.key, k_step, k_strat = jax.random.split(self.key, 3)
 
             (self.splats, self.opt_state, self.seg_head, self.seg_opt_state,
@@ -476,6 +544,46 @@ class Runner:
         )
         with open(os.path.join(self.stats_dir, f"val_step{step}.json"), "w") as f:
             json.dump(out, f)
+        return out
+
+    # ------------------------------------------------------------------
+    def render_traj(self, step: int, n_frames: int = 60,
+                    traj_path: str = "interp") -> str:
+        """Render a camera-trajectory video (reference Runner.render_traj:
+        :1389 — spline/ellipse path, RGB+ED frames, video file)."""
+        from tdgs.datasets import traj as T
+
+        c2w = self.parser.camtoworlds[:, :3, :]
+        if traj_path == "ellipse":
+            path = T.generate_ellipse_path_z(c2w, n_frames=n_frames)
+        elif traj_path == "spiral":
+            path = T.generate_spiral_path(c2w, n_frames=n_frames)
+        else:
+            keyframes = c2w[:: max(len(c2w) // 6, 1)]
+            path = T.generate_interpolated_path(
+                keyframes, n_interp=max(n_frames // max(len(keyframes) - 1, 1), 1)
+            )
+        K = self.parser.Ks_dict[self.parser.camera_ids[0]].astype(np.float32)
+        W, H = self.parser.imsize_dict[self.parser.camera_ids[0]]
+
+        frames = []
+        for c in path:
+            c2w4 = np.eye(4, dtype=np.float32)
+            c2w4[:3] = c
+            viewmat = np.linalg.inv(c2w4).astype(np.float32)
+            img, _, _ = self.rasterize_splats(
+                self.splats, jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
+                W, H, self.cfg.sh_degree, render_mode="RGB+ED",
+            )
+            frames.append(
+                (np.clip(np.asarray(img[0, ..., :3]), 0, 1) * 255).astype(np.uint8)
+            )
+        out = os.path.join(self.cfg.result_dir, f"traj_{step}.gif")
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in frames]
+        imgs[0].save(out, save_all=True, append_images=imgs[1:], duration=33,
+                     loop=0)
         return out
 
     # ------------------------------------------------------------------

@@ -6,6 +6,7 @@ depth_to_normal (:209), log_transform (:137), get_projection_matrix (:235).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -54,7 +55,9 @@ def depth_to_normal(
     dx = pts[..., 2:, 1:-1, :] - pts[..., :-2, 1:-1, :]
     dy = pts[..., 1:-1, 2:, :] - pts[..., 1:-1, :-2, :]
     n = jnp.cross(dx, dy)
-    n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # rsqrt(Σn²+ε): jnp.linalg.norm has a NaN gradient at exactly 0 (flat
+    # depth regions / zero borders produce zero cross products)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     pad = [(0, 0)] * (n.ndim - 3) + [(1, 1), (1, 1), (0, 0)]
     return jnp.pad(n, pad)
 

@@ -120,3 +120,38 @@ def test_trainer_loss_drops_and_eval(tmp_path, strategy):
     np.testing.assert_allclose(
         np.asarray(runner2.splats["means"]), np.asarray(runner.splats["means"])
     )
+
+
+def test_trainer_2dgs_variant(tmp_path):
+    """2DGS trainer (reference simple_trainer_2dgs.py): surfel model with
+    normal-consistency + distortion losses."""
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        model_type="2dgs",
+        normal_loss=True,
+        normal_start_iter=10,
+        dist_loss=True,
+        dist_start_iter=5,
+        max_steps=40,
+        eval_steps=[40],
+        save_steps=[],
+        sh_degree=1,
+        sh_degree_interval=20,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=10,
+        rasterizer="jax",
+    )
+    runner = Runner(cfg)
+    out = runner.train()
+    hist = out["history"]
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"] * 1.2
+    stats = runner.eval(40)
+    assert stats["psnr"] > 12.0, stats
