@@ -26,6 +26,13 @@ from tdgs.datasets.colmap_io import load_colmap_model, qvec_to_rotmat
 
 
 def _imread(path: str) -> np.ndarray:
+    # native C++ decoder (libjpeg/libpng, tdgs/datasets/_native.py) with a
+    # PIL fallback when the toolchain is unavailable
+    from tdgs.datasets._native import decode_image
+
+    arr = decode_image(path)
+    if arr is not None:
+        return arr
     from PIL import Image
 
     with Image.open(path) as im:

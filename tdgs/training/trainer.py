@@ -140,6 +140,30 @@ class Runner:
                 "nu": jax.tree.map(jnp.zeros_like, self.seg_head),
             }
 
+        # auxiliary trainable modules: per-image pose deltas + bilateral
+        # grids (reference simple_trainer.py pose_opt/use_bilateral_grid)
+        self.aux_params = {}
+        self.aux_lrs = {}
+        if cfg.pose_opt:
+            from tdgs.training.modules import init_camera_opt
+
+            self.aux_params["pose"] = init_camera_opt(
+                len(self.trainset), std=cfg.pose_noise, key=seg_key
+            )["embeds"]
+            self.aux_lrs["pose"] = cfg.pose_opt_lr
+        if cfg.use_bilateral_grid:
+            from tdgs.training.bilateral_grid import init_bilateral_grid
+
+            gw, gh, gg = cfg.bilateral_grid_shape
+            self.aux_params["bilagrid"] = init_bilateral_grid(
+                len(self.trainset), gw, gh, gg
+            )
+            self.aux_lrs["bilagrid"] = 2e-3
+        self.aux_opt_state = {
+            "mu": jax.tree.map(jnp.zeros_like, self.aux_params),
+            "nu": jax.tree.map(jnp.zeros_like, self.aux_params),
+        }
+
         self.strategy = cfg.strategy
         self.strategy.check_sanity(self.splats)
         if isinstance(self.strategy, MCMCStrategy):
@@ -248,8 +272,9 @@ class Runner:
 
     # ------------------------------------------------------------------
     def _train_step_impl(
-        self, params, opt_state, seg_head, seg_opt_state, batch, lr_dict,
-        key, sh_degree: int, use_means2d_tap: bool,
+        self, params, opt_state, seg_head, seg_opt_state, aux_params,
+        aux_opt_state, batch, lr_dict, key, sh_degree: int,
+        use_means2d_tap: bool,
         use_seg_loss: bool = False, use_spatial_reg: bool = False,
     ):
         cfg = self.cfg
@@ -264,7 +289,18 @@ class Runner:
             else None
         )
 
-        def loss_fn(params, seg_head, means2d_offset):
+        def loss_fn(params, seg_head, aux, means2d_offset):
+            viewmats = batch["viewmat"]
+            if "pose" in aux:
+                # per-image SE(3) pose correction (CameraOptModule)
+                from tdgs.training.modules import apply_camera_opt
+
+                c2w = jnp.linalg.inv(viewmats)
+                c2w = apply_camera_opt(
+                    {"embeds": aux["pose"]}, c2w, batch["image_id"]
+                )
+                viewmats = jnp.linalg.inv(c2w)
+            batch_adj = dict(batch, viewmat=viewmats)
             if cfg.model_type == "2dgs":
                 # 2DGS trainer path (reference simple_trainer_2dgs.py):
                 # normal-consistency + distortion losses with warmup gates
@@ -275,7 +311,7 @@ class Runner:
                 (img, alpha, normals, normals_from_depth, render_distort,
                  render_median, meta) = rasterization_2dgs(
                     means, quats, scales, opacities, sh,
-                    batch["viewmat"], batch["K"], W, H,
+                    batch_adj["viewmat"], batch["K"], W, H,
                     sh_degree=sh_degree,
                     render_mode="RGB+ED",
                     distloss=cfg.dist_loss,
@@ -312,13 +348,26 @@ class Runner:
                 return loss, aux
 
             img, alpha, meta = self.rasterize_splats(
-                params, batch["viewmat"], batch["K"], W, H, sh_degree,
+                params, batch_adj["viewmat"], batch["K"], W, H, sh_degree,
                 means2d_offset=means2d_offset if use_means2d_tap else None,
                 backgrounds=backgrounds,
                 render_mode=render_mode,
             )
             colors = img[..., :3]
+            if "bilagrid" in aux:
+                from tdgs.training.bilateral_grid import (
+                    bilateral_grid_slice,
+                    total_variation_loss,
+                )
+
+                colors = bilateral_grid_slice(
+                    aux["bilagrid"], batch["image_id"], colors
+                )
             loss = L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)
+            if "bilagrid" in aux:
+                loss = loss + 10.0 * total_variation_loss(aux["bilagrid"])
+            if "pose" in aux:
+                loss = loss + cfg.pose_opt_reg * jnp.mean(aux["pose"] ** 2)
             if cfg.depth_loss:
                 loss = loss + cfg.depth_lambda * L.depth_loss_sparse(
                     img[..., 3:], batch["points"], batch["depths"],
@@ -372,9 +421,9 @@ class Runner:
         tap = jnp.zeros((B, 1, C, 2)) if use_means2d_tap else jnp.zeros(())
         seg_in = seg_head if seg_head is not None else {}
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True
-        )(params, seg_in, tap)
-        g_params, g_seg, g_tap = grads
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
+        )(params, seg_in, aux_params, tap)
+        g_params, g_seg, g_aux, g_tap = grads
 
         visibility = (aux["radii"] > 0).all(-1).any(axis=tuple(range(aux["radii"].ndim - 2)))
         params, opt_state = self.optimizer.update(
@@ -390,9 +439,22 @@ class Runner:
                 new_nu[k] = nu
             seg_head = new_head
             seg_opt_state = {"mu": new_mu, "nu": new_nu}
+        if aux_params:
+            new_aux, new_mu, new_nu = {}, {}, {}
+            for k, g in g_aux.items():
+                mu = 0.9 * aux_opt_state["mu"][k] + 0.1 * g
+                nu = 0.999 * aux_opt_state["nu"][k] + 0.001 * g * g
+                new_aux[k] = aux_params[k] - lr_dict[f"aux_{k}"] * mu / (
+                    jnp.sqrt(nu) + 1e-15
+                )
+                new_mu[k] = mu
+                new_nu[k] = nu
+            aux_params = new_aux
+            aux_opt_state = {"mu": new_mu, "nu": new_nu}
         aux["v_means2d"] = g_tap
         aux["visibility"] = visibility
-        return params, opt_state, seg_head, seg_opt_state, loss, aux
+        return (params, opt_state, seg_head, seg_opt_state, aux_params,
+                aux_opt_state, loss, aux)
 
     # ------------------------------------------------------------------
     def _make_batch(self, indices) -> Dict[str, jnp.ndarray]:
@@ -443,6 +505,9 @@ class Runner:
                 "image": jnp.asarray(np.stack([it["image"] for it in items])),
                 "viewmat": jnp.asarray(np.stack([it["viewmat"] for it in items])),
                 "K": jnp.asarray(np.stack([it["K"] for it in items])),
+                "image_id": jnp.asarray(
+                    np.arange(len(items)) * 0 + np.asarray(idx, np.int32)
+                ),
             }
             if cfg.depth_loss:
                 b2 = self._make_batch(idx)
@@ -482,9 +547,12 @@ class Runner:
                 )
             self.key, k_step, k_strat = jax.random.split(self.key, 3)
 
+            for k, lr in self.aux_lrs.items():
+                lr_dict[f"aux_{k}"] = jnp.float32(lr)
             (self.splats, self.opt_state, self.seg_head, self.seg_opt_state,
-             loss, aux) = self._train_step(
+             self.aux_params, self.aux_opt_state, loss, aux) = self._train_step(
                 self.splats, self.opt_state, self.seg_head, self.seg_opt_state,
+                self.aux_params, self.aux_opt_state,
                 batch, lr_dict, k_step,
                 sh_degree=sh_degree, use_means2d_tap=use_tap,
                 use_seg_loss=use_seg, use_spatial_reg=use_spatial,

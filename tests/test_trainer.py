@@ -155,3 +155,38 @@ def test_trainer_2dgs_variant(tmp_path):
     assert hist[-1]["loss"] < hist[0]["loss"] * 1.2
     stats = runner.eval(40)
     assert stats["psnr"] > 12.0, stats
+
+
+def test_trainer_pose_opt_and_bilagrid(tmp_path):
+    """Pose optimization + bilateral grid wired into the train step."""
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=30,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        sh_degree_interval=20,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=10,
+        rasterizer="jax",
+        pose_opt=True,
+        pose_opt_lr=1e-4,
+        use_bilateral_grid=True,
+        bilateral_grid_shape=(4, 4, 2),
+    )
+    runner = Runner(cfg)
+    assert "pose" in runner.aux_params and "bilagrid" in runner.aux_params
+    pose0 = np.asarray(runner.aux_params["pose"]).copy()
+    grid0 = np.asarray(runner.aux_params["bilagrid"]).copy()
+    out = runner.train()
+    assert np.isfinite(out["history"][-1]["loss"])
+    # aux params actually trained
+    assert np.abs(np.asarray(runner.aux_params["pose"]) - pose0).max() > 0
+    assert np.abs(np.asarray(runner.aux_params["bilagrid"]) - grid0).max() > 0
