@@ -59,7 +59,7 @@ def main():
             means, quats, scales, opacities, sh, viewmats, Ks,
             WIDTH, HEIGHT,
             sh_degree=3,
-            rasterizer="packed" if use_pallas else "jax",
+            rasterizer="packed_inference" if use_pallas else "jax",
             tile_capacity=1024,
             max_tiles_per_gauss=16,
         )

@@ -534,3 +534,217 @@ def rasterize_to_pixels_packed(
         img.reshape(image_dims + (image_height, image_width, D)),
         alp.reshape(image_dims + (image_height, image_width, 1)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inference fast path: unaligned entry ranges, no realignment pass
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_unaligned(
+    offs_ref,  # scalar prefetch [T+1] (UNALIGNED offsets)
+    packed_ref,  # [F, capacity] ANY (sorted order, no padding)
+    color_out_ref,  # [D, P]
+    trans_out_ref,  # [P, 1]
+    buf,  # scratch [3, F, CHUNK]
+    sems,  # DMA sems (3,)
+    acc_ref,  # [D, P]
+    lograw_ref,  # [P, 1]
+    logeff_ref,  # [P, 1]
+    *,
+    tile_size: int,
+    tile_width: int,
+    tiles_per_image: int,
+    max_chunks: int,
+    D: int,
+):
+    """Forward-only kernel reading UNALIGNED per-tile ranges.
+
+    Aligned 128-chunks covering [start, start+count) are streamed through a
+    3-slot buffer; each compute chunk takes lanes [s0, s0+128) of two
+    consecutive aligned chunks via a dynamic lane rotation (pltpu.roll) —
+    Mosaic only allows 128-aligned DMA offsets, and this dodges the whole
+    XLA-side realignment pass (~15 ms/frame of scatter at 1080p).
+    """
+    t = pl.program_id(0)
+    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
+    tri = _tri_upper_incl(CHUNK)
+
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+    count = jnp.minimum(end - start, max_chunks * CHUNK)
+    astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    s0 = start - astart
+    n = pl.cdiv(count, CHUNK)  # compute chunks
+    span = pl.cdiv(s0 + count, CHUNK)  # aligned chunks to stream
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
+    logeff_ref[:, :] = jnp.zeros_like(logeff_ref)
+
+    def dma(j):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(astart + j * CHUNK, CHUNK)],
+            buf.at[j % 3],
+            sems.at[j % 3],
+        )
+
+    @pl.when(span > 0)
+    def _():
+        dma(0).start()
+
+    @pl.when(span > 1)
+    def _():
+        dma(1).start()
+
+    @pl.when(span > 0)
+    def _():
+        dma(0).wait()
+
+    def body(k, _):
+        # prefetch aligned chunk k+2 into the slot freed by chunk k-1;
+        # wait chunk k+1 (started one iteration earlier → overlapped)
+        @pl.when(k + 2 < span)
+        def _():
+            dma(k + 2).start()
+
+        @pl.when(k + 1 < span)
+        def _():
+            dma(k + 1).wait()
+
+        combined = jnp.concatenate([buf[k % 3], buf[(k + 1) % 3]], axis=1)
+        window = pltpu.roll(combined, -s0, 1)[:, :CHUNK]  # [F, G]
+        # zero ALL features of out-of-range lanes BEFORE any use: the lanes
+        # past `count` read uninitialized VMEM, and NaN·0 = NaN would leak
+        # through the color matmul
+        in_range = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) + k * CHUNK
+            < count
+        )
+        window = jnp.where(in_range, window, 0.0)
+
+        not_done = jnp.max(lograw_ref[:, 0:1]) > jnp.log(TRANSMITTANCE_EPS)
+
+        @pl.when(not_done)
+        def _():
+            alpha, _, _, _, _, colors = _chunk_values(window, px, py, D)
+            alpha = jnp.where(in_range, alpha, 0.0)
+            logs = jnp.log1p(-alpha)
+            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+            logP = S + lograw_ref[:, 0:1]
+            included = logP > jnp.log(TRANSMITTANCE_EPS)
+            P_prev = jnp.exp(logP - logs)
+            w = jnp.where(included, alpha * P_prev, 0.0)
+            acc_ref[:, :] += jax.lax.dot_general(
+                colors, w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+            logeff_ref[:, :] += jnp.sum(
+                jnp.where(included, logs, 0.0), axis=1, keepdims=True
+            )
+
+        return ()
+
+    jax.lax.fori_loop(0, n, body, ())
+
+    color_out_ref[:, :] = acc_ref[:, :]
+    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
+
+
+def rasterize_to_pixels_packed_inference(
+    means2d: jnp.ndarray,  # [..., N, 2]
+    conics: jnp.ndarray,  # [..., N, 3]
+    colors: jnp.ndarray,  # [..., N, D]
+    opacities: jnp.ndarray,  # [..., N]
+    image_width: int,
+    image_height: int,
+    tile_size: int,
+    offsets: jnp.ndarray,  # [T+1] int32 UNALIGNED (from isect_tiles_packed)
+    flatten_ids: jnp.ndarray,  # [capacity]
+    backgrounds: Optional[jnp.ndarray] = None,
+    tile_capacity: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward-only packed rasterization without the realignment pass —
+    ~25% faster per frame; NOT differentiable (use
+    rasterize_to_pixels_packed for training)."""
+    image_dims = means2d.shape[:-2]
+    N = means2d.shape[-2]
+    D = colors.shape[-1]
+    I = math.prod(image_dims) if image_dims else 1
+    tile_width = math.ceil(image_width / tile_size)
+    tile_height = math.ceil(image_height / tile_size)
+    T_total = I * tile_width * tile_height
+    P = tile_size * tile_size
+
+    F_pad = -(-(6 + D) // 8) * 8
+    feats = jnp.concatenate(
+        [
+            means2d.reshape(I * N, 2),
+            conics.reshape(I * N, 3),
+            opacities.reshape(I * N, 1),
+            colors.reshape(I * N, D),
+            jnp.zeros((I * N, F_pad - 6 - D), means2d.dtype),
+        ],
+        axis=-1,
+    )
+    capacity = flatten_ids.shape[0]
+    pad = (-capacity) % CHUNK + CHUNK  # slack so the last window DMA fits
+    flatten_ids = jnp.pad(flatten_ids, (0, pad))
+    capacity += pad
+    feats = jax.lax.optimization_barrier(feats)
+    packed = jax.lax.optimization_barrier(feats[flatten_ids]).T
+
+    kern = functools.partial(
+        _fwd_kernel_unaligned,
+        tile_size=tile_size,
+        tile_width=tile_width,
+        tiles_per_image=tile_width * tile_height,
+        max_chunks=max(tile_capacity // CHUNK, 1),
+        D=D,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T_total,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, F_pad, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((D, P), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    colors_out, trans_out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T_total, D, P), jnp.float32),
+            jax.ShapeDtypeStruct((T_total, P, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed)
+
+    pad_h, pad_w = tile_height * tile_size, tile_width * tile_size
+    img = colors_out.reshape(I, tile_height, tile_width, D, tile_size, tile_size)
+    img = img.transpose(0, 1, 4, 2, 5, 3).reshape(I, pad_h, pad_w, D)
+    alp = 1.0 - trans_out.reshape(I, tile_height, tile_width, tile_size, tile_size)
+    alp = alp.transpose(0, 1, 3, 2, 4).reshape(I, pad_h, pad_w)
+    img = img[:, :image_height, :image_width, :]
+    alp = alp[:, :image_height, :image_width]
+    if backgrounds is not None:
+        img = img + (1.0 - alp[..., None]) * backgrounds.reshape(I, 1, 1, D)
+    return (
+        img.reshape(image_dims + (image_height, image_width, D)),
+        alp.reshape(image_dims + (image_height, image_width, 1)),
+    )

@@ -217,9 +217,14 @@ def rasterization(
     tile_width = math.ceil(width / float(tile_size))
     tile_height = math.ceil(height / float(tile_size))
 
-    if rasterizer == "packed":
+    if rasterizer in ("packed", "packed_inference"):
         # Fast path: packed single-key sort + streaming Pallas kernel.
-        from tdgs.ops.rasterize_pallas_packed import rasterize_to_pixels_packed
+        # "packed_inference" additionally skips the chunk-realignment pass
+        # (unaligned-start kernel) — forward only, not differentiable.
+        from tdgs.ops.rasterize_pallas_packed import (
+            rasterize_to_pixels_packed,
+            rasterize_to_pixels_packed_inference,
+        )
         from tdgs.ops.tiling import isect_tiles_packed
 
         isect_p = isect_tiles_packed(
@@ -247,7 +252,12 @@ def rasterization(
                 "n_cameras": C,
             }
         )
-        render_colors, render_alphas = rasterize_to_pixels_packed(
+        raster_packed = (
+            rasterize_to_pixels_packed_inference
+            if rasterizer == "packed_inference"
+            else rasterize_to_pixels_packed
+        )
+        render_colors, render_alphas = raster_packed(
             means2d,
             conics,
             colors_cn,

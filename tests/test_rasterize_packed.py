@@ -156,3 +156,35 @@ def test_rasterization_packed_end_to_end():
     np.testing.assert_allclose(
         np.asarray(img_p), np.asarray(img_j), rtol=2e-3, atol=2e-3
     )
+
+
+def test_packed_inference_matches_jax():
+    """The unaligned-start inference kernel must match the oracle path."""
+    from tdgs.rendering import rasterization
+
+    rng = np.random.default_rng(114)
+    N = 48
+    means = rng.normal(size=(N, 3)).astype(np.float32) + [0, 0, 5]
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    scales = rng.uniform(0.05, 0.3, size=(N, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 1, size=(N,)).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(N, 3)).astype(np.float32)
+    viewmats = np.eye(4, dtype=np.float32)[None]
+    Ks = np.array([[[60.0, 0, 32], [0, 60, 24], [0, 0, 1]]], np.float32)
+    img_p, alp_p, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(Ks), 64, 48, rasterizer="packed_inference",
+        tile_capacity=256,
+    )
+    img_j, alp_j, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(Ks), 64, 48, rasterizer="jax", tile_capacity=256,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_j), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(alp_p), np.asarray(alp_j), rtol=2e-3, atol=2e-3
+    )
