@@ -69,6 +69,7 @@ def fit(
     seed: int = 42,
     rasterizer: str = "jax",
     log_every: int = 100,
+    model_type: str = "3dgs",
 ) -> Tuple[float, float, np.ndarray]:
     """Returns (initial_loss, final_loss, final_render)."""
     target = jnp.asarray(make_target_image(height, width))
@@ -80,6 +81,18 @@ def fit(
     opt_state = tx.init(params)
 
     def render(params):
+        if model_type == "2dgs":
+            # surfel variant (reference image_fitting.py model_type switch)
+            from tdgs.rendering import rasterization_2dgs
+
+            out = rasterization_2dgs(
+                params["means"], params["quats"], jnp.exp(params["scales"]),
+                jax.nn.sigmoid(params["opacities"]),
+                jax.nn.sigmoid(params["colors"]), viewmats, Ks, width, height,
+                tile_capacity=512, isect_capacity=None,
+                max_tiles_per_gauss=64,
+            )
+            return out[0][0]
         img, alpha, _ = rasterization(
             params["means"],
             params["quats"],
@@ -129,12 +142,14 @@ def main():
     ap.add_argument("--num-points", type=int, default=2000)
     ap.add_argument("--iterations", type=int, default=1000)
     ap.add_argument("--lr", type=float, default=1e-2)
-    ap.add_argument("--rasterizer", default="jax", choices=["jax", "pallas"])
+    ap.add_argument("--rasterizer", default="jax",
+                    choices=["jax", "pallas", "packed", "packed_inference"])
+    ap.add_argument("--model-type", default="3dgs", choices=["3dgs", "2dgs"])
     ap.add_argument("--save", default=None, help="save final render PNG here")
     args = ap.parse_args()
     _, _, img = fit(
         args.height, args.width, args.num_points, args.iterations,
-        lr=args.lr, rasterizer=args.rasterizer,
+        lr=args.lr, rasterizer=args.rasterizer, model_type=args.model_type,
     )
     if args.save:
         from PIL import Image
