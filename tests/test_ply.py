@@ -3,8 +3,10 @@ import numpy as np
 from tdgs.utils.ply import (
     export_splats,
     load_ply,
+    load_ply_compressed,
     morton_sort_centers,
     save_ply,
+    save_ply_compressed,
     save_splat,
 )
 
@@ -66,5 +68,58 @@ def test_export_splats_api(tmp_path):
     s = make_splats(rng, n=10)
     export_splats(**s, format="ply", save_to=str(tmp_path / "a.ply"))
     export_splats(**s, format="splat", save_to=str(tmp_path / "a.splat"))
+    export_splats(**s, format="ply_compressed",
+                  save_to=str(tmp_path / "a.compressed.ply"))
     out = load_ply(str(tmp_path / "a.ply"))
     assert out["means"].shape == (10, 3)
+
+
+def test_ply_compressed_roundtrip(tmp_path):
+    """Quantized round-trip: decode must recover all params to within the
+    quantization step of each packing (11/10/11 position+scale, 10-bit
+    smallest-three quats, 8-bit colors/opacity, 8-bit f_rest in [-4, 4))."""
+    rng = np.random.default_rng(85)
+    n = 600  # > 2 chunks of 256
+    s = make_splats(rng, n=n, k=4)
+    s["shN"] = np.clip(s["shN"], -3.9, 3.9)
+    path = str(tmp_path / "c.ply")
+    save_ply_compressed(path, **s)
+    out = load_ply_compressed(path)
+
+    opac = 1 / (1 + np.exp(-s["opacities"].astype(np.float64)))
+    keep = opac > 1 / 255.0
+    order = morton_sort_centers(s["means"][keep])
+
+    def ref(k):
+        return s[k][keep][order]
+
+    assert out["means"].shape == (keep.sum(), 3)
+    span = s["means"].max(0) - s["means"].min(0)
+    np.testing.assert_allclose(
+        out["means"], ref("means"), atol=float(span.max()) / 1023
+    )
+    span_s = s["scales"].max(0) - s["scales"].min(0)
+    np.testing.assert_allclose(
+        out["scales"], ref("scales"), atol=float(span_s.max()) / 1023
+    )
+    # quats: compare as rotations (sign-canonicalized, normalized)
+    q_ref = ref("quats")
+    q_ref = q_ref / np.linalg.norm(q_ref, axis=-1, keepdims=True)
+    dot = np.abs(np.sum(q_ref * out["quats"], axis=-1))
+    assert dot.min() > 0.999
+    np.testing.assert_allclose(
+        1 / (1 + np.exp(-out["opacities"])),
+        1 / (1 + np.exp(-ref("opacities"))),
+        atol=1.5 / 255,
+    )
+    np.testing.assert_allclose(out["shN"], ref("shN"), atol=8.0 / 256 + 1e-6)
+
+
+def test_ply_compressed_drops_transparent(tmp_path):
+    rng = np.random.default_rng(86)
+    s = make_splats(rng, n=40, k=2)
+    s["opacities"][:15] = -10.0  # sigmoid ≈ 4.5e-5 < 1/255 → dropped
+    path = str(tmp_path / "c.ply")
+    save_ply_compressed(path, **s)
+    out = load_ply_compressed(path)
+    assert out["means"].shape[0] == 25
