@@ -33,13 +33,23 @@ def build_parser() -> argparse.ArgumentParser:
             ap.add_argument(arg, action="store_true" if not f.default
                             else "store_false", dest=f.name)
         elif isinstance(f.default, (int, float, str)) or f.default is None:
-            t = type(f.default) if f.default is not None else str
-            ap.add_argument(arg, type=t if t is not type(None) else str,
-                            default=None, dest=f.name)
+            if f.default is not None:
+                t = type(f.default)
+            else:
+                # Optional[...] fields: parse by the annotation's inner type
+                ann = str(f.type)
+                t = int if "int" in ann else float if "float" in ann else str
+            ap.add_argument(arg, type=t, default=None, dest=f.name)
         # list fields: comma separated
         elif isinstance(f.default_factory(), list) if f.default_factory is not dataclasses.MISSING else False:
             ap.add_argument(arg, type=str, default=None, dest=f.name)
     ap.add_argument("--cap-max", type=int, default=1_000_000)
+    ap.add_argument("--absgrad", action="store_true",
+                    help="AbsGS absolute screen-gradient densification "
+                    "(DefaultStrategy only; reference --strategy.absgrad)")
+    ap.add_argument("--grow-grad2d", type=float, default=None,
+                    help="densify threshold (reference suggests 0.0008 "
+                    "with --absgrad)")
     ap.add_argument("--ckpt", type=str, default=None,
                     help="checkpoint to load for eval-only")
     return ap
@@ -56,7 +66,11 @@ def main():
         overrides = dict(init_opa=0.5, init_scale=0.1,
                          opacity_reg=0.01, scale_reg=0.01)
     else:
-        strategy = DefaultStrategy(verbose=True)
+        strategy = DefaultStrategy(verbose=True, absgrad=args.absgrad)
+        if args.grow_grad2d is not None:
+            strategy.grow_grad2d = args.grow_grad2d
+        elif args.absgrad:
+            strategy.grow_grad2d = 0.0008  # reference absgrad default
         overrides = {}
 
     cfg_kwargs = dict(overrides)

@@ -36,6 +36,47 @@ TRANSMITTANCE_EPS = 1e-4  # pixel-done cutoff (RasterizeToPixels3DGSFwd.cu:154)
 ALPHA_CLAMP = 0.999
 
 
+@jax.custom_vjp
+def absgrad_tap(values, abs_dummy, entry_ids, entry_valid):
+    """Identity on ``values`` whose cotangent w.r.t. ``abs_dummy`` is the
+    per-gaussian scatter-add of |per-entry positional gradients|.
+
+    The AbsGS / gsplat ``absgrad`` signal (reference
+    RasterizeToPixels3DGSBwd.cu v_means2d_abs accumulation,
+    strategy/default.py absgrad flag): screen-space gradients accumulated
+    as absolute values so opposing per-region contributions don't cancel.
+    TPU delta: the reference takes |·| per *pixel*; here entries are
+    (gaussian, tile) pairs, so |·| is taken per tile — cancellation is
+    still prevented across a gaussian's footprint (which spans tiles),
+    at a fraction of the memory traffic.
+
+    Args:
+      values: [..., E, F] per-entry features whose LAST-axis slots 0:2 are
+        the projected means (mx, my).
+      abs_dummy: [M, 2] zeros; grad w.r.t. this input is the accumulator.
+      entry_ids: [..., E] int32 indices into the M gaussians.
+      entry_valid: [..., E] bool.
+    """
+    del abs_dummy, entry_ids, entry_valid
+    return values
+
+
+def _absgrad_tap_fwd(values, abs_dummy, entry_ids, entry_valid):
+    return values, (entry_ids, entry_valid, jnp.zeros_like(abs_dummy))
+
+
+def _absgrad_tap_bwd(res, v):
+    entry_ids, entry_valid, zeros = res
+    vab = jnp.where(entry_valid[..., None], jnp.abs(v[..., 0:2]), 0.0)
+    acc = zeros.at[entry_ids.reshape(-1)].add(
+        vab.reshape(-1, 2).astype(zeros.dtype)
+    )
+    return v, acc, None, None
+
+
+absgrad_tap.defvjp(_absgrad_tap_fwd, _absgrad_tap_bwd)
+
+
 def gather_tile_gaussians(
     isect_offsets: jnp.ndarray,  # [I, tile_height, tile_width] int32
     flatten_ids: jnp.ndarray,  # [capacity] int32
@@ -91,6 +132,7 @@ def rasterize_to_pixels_jax(
     n_isects: jnp.ndarray,  # [] int32
     backgrounds: Optional[jnp.ndarray] = None,  # [..., D]
     tile_capacity: int = 1024,
+    absgrad_dummy: Optional[jnp.ndarray] = None,  # [I*N, 2] zeros
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Rasterize gaussians to pixels (differentiable, pure jnp).
 
@@ -118,6 +160,8 @@ def rasterize_to_pixels_jax(
     T_total = gauss_ids.shape[0]
 
     g_means = means2d_f[gauss_ids]  # [T, cap, 2]
+    if absgrad_dummy is not None:
+        g_means = absgrad_tap(g_means, absgrad_dummy, gauss_ids, valid)
     g_conics = conics_f[gauss_ids]  # [T, cap, 3]
     g_colors = colors_f[gauss_ids]  # [T, cap, D]
     g_opac = opac_f[gauss_ids]  # [T, cap]

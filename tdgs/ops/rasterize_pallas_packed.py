@@ -466,8 +466,13 @@ def rasterize_to_pixels_packed(
     flatten_ids: jnp.ndarray,  # [capacity] sorted entry → gaussian id
     backgrounds: Optional[jnp.ndarray] = None,
     tile_capacity: int = 1024,
+    absgrad_dummy: Optional[jnp.ndarray] = None,  # [I*N, 2] zeros
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Packed-stream rasterization: flat feature gather + streaming kernel."""
+    """Packed-stream rasterization: flat feature gather + streaming kernel.
+
+    ``absgrad_dummy``: optional zeros whose gradient accumulates
+    |per-(gaussian, tile) screen gradients| (AbsGS; see
+    rasterize_jax.absgrad_tap)."""
     image_dims = means2d.shape[:-2]
     N = means2d.shape[-2]
     D = colors.shape[-1]
@@ -511,6 +516,10 @@ def rasterize_to_pixels_packed(
     feats = jax.lax.optimization_barrier(feats)
     rows = feats[ids]  # [aligned_capacity, F] — flat row gather (cheap)
     rows = rows.at[:, 5].set(jnp.where(entry_valid, rows[:, 5], 0.0))
+    if absgrad_dummy is not None:
+        from tdgs.ops.rasterize_jax import absgrad_tap
+
+        rows = absgrad_tap(rows, absgrad_dummy, ids, entry_valid)
     packed = jax.lax.optimization_barrier(rows).T  # [F, aligned_capacity]
     capacity = packed.shape[1]
 

@@ -66,6 +66,7 @@ def rasterization(
     max_tiles_per_gauss: int = 32,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
+    means2d_abs_tap: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
     with_ut: bool = False,
     radial_coeffs: Optional[jnp.ndarray] = None,  # [..., C, 6] or [..., C, 4]
     tangential_coeffs: Optional[jnp.ndarray] = None,  # [..., C, 2]
@@ -84,10 +85,15 @@ def rasterization(
       static intersection buffers (meta reports ``n_dropped`` overflow).
     - ``rasterizer`` selects "jax" (pure-jnp oracle path, differentiable via
       autodiff) or "pallas" (production TPU kernel with custom VJP).
-    - ``packed``/``sparse_grad``/``segmented``/``absgrad``/``distributed``
-      are not arguments: dense masked layout is the TPU idiom, absolute
-      screen-gradients come from the trainer's explicit means2d tap, and
-      multi-device rendering lives in ``tdgs.parallel``.
+    - ``packed``/``sparse_grad``/``segmented``/``distributed`` are not
+      arguments: dense masked layout is the TPU idiom and multi-device
+      rendering lives in ``tdgs.parallel``.
+    - ``absgrad`` (AbsGS) becomes the explicit ``means2d_abs_tap``: pass a
+      zeros array [..., C, N, 2]; the gradient of the loss w.r.t. it is the
+      per-gaussian accumulation of |per-tile screen-space gradients|
+      (the reference's meta["means2d"].absgrad, per-tile instead of
+      per-pixel — see rasterize_jax.absgrad_tap). Supported by the "jax"
+      and "packed" rasterizers.
     """
     meta: Dict = {}
     batch_dims = means.shape[:-2]
@@ -257,6 +263,12 @@ def rasterization(
             if rasterizer == "packed_inference"
             else rasterize_to_pixels_packed
         )
+        extra = {}
+        if means2d_abs_tap is not None:
+            assert rasterizer == "packed", (
+                "means2d_abs_tap requires a differentiable rasterizer"
+            )
+            extra["absgrad_dummy"] = means2d_abs_tap.reshape(I * N, 2)
         render_colors, render_alphas = raster_packed(
             means2d,
             conics,
@@ -269,6 +281,7 @@ def rasterization(
             isect_p.flatten_ids,
             backgrounds=backgrounds,
             tile_capacity=tile_capacity,
+            **extra,
         )
         if render_mode in ("ED", "RGB+ED"):
             render_colors = jnp.concatenate(
@@ -325,6 +338,13 @@ def rasterization(
     else:
         raise ValueError(f"unknown rasterizer {rasterizer!r}")
 
+    extra = {}
+    if means2d_abs_tap is not None:
+        assert rasterizer == "jax", (
+            "means2d_abs_tap is supported by the 'jax' and 'packed' "
+            "rasterizers only"
+        )
+        extra["absgrad_dummy"] = means2d_abs_tap.reshape(I * N, 2)
     render_colors, render_alphas = rasterize_fn(
         means2d,
         conics,
@@ -338,6 +358,7 @@ def rasterization(
         isect.n_isects,
         backgrounds=backgrounds,
         tile_capacity=tile_capacity,
+        **extra,
     )
 
     if render_mode in ("ED", "RGB+ED"):

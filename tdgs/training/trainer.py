@@ -178,8 +178,8 @@ class Runner:
         self._train_step = jax.jit(
             self._train_step_impl, donate_argnums=(0, 1),
             static_argnames=(
-                "sh_degree", "use_means2d_tap", "use_seg_loss",
-                "use_spatial_reg",
+                "sh_degree", "use_means2d_tap", "use_absgrad",
+                "use_seg_loss", "use_spatial_reg",
             ),
         )
 
@@ -223,6 +223,7 @@ class Runner:
         height: int,
         sh_degree: int,
         means2d_offset: Optional[jnp.ndarray] = None,
+        means2d_abs_tap: Optional[jnp.ndarray] = None,
         override_features: Optional[jnp.ndarray] = None,
         backgrounds: Optional[jnp.ndarray] = None,
         render_mode: str = "RGB",
@@ -266,6 +267,7 @@ class Runner:
             isect_capacity=cfg.isect_capacity,
             max_tiles_per_gauss=cfg.max_tiles_per_gauss,
             means2d_offset=means2d_offset,
+            means2d_abs_tap=means2d_abs_tap,
             backgrounds=backgrounds,
             render_mode=render_mode,
         )
@@ -274,7 +276,7 @@ class Runner:
     def _train_step_impl(
         self, params, opt_state, seg_head, seg_opt_state, aux_params,
         aux_opt_state, batch, lr_dict, key, sh_degree: int,
-        use_means2d_tap: bool,
+        use_means2d_tap: bool, use_absgrad: bool = False,
         use_seg_loss: bool = False, use_spatial_reg: bool = False,
     ):
         cfg = self.cfg
@@ -289,7 +291,7 @@ class Runner:
             else None
         )
 
-        def loss_fn(params, seg_head, aux, means2d_offset):
+        def loss_fn(params, seg_head, aux, means2d_offset, abs_tap):
             viewmats = batch["viewmat"]
             if "pose" in aux:
                 # per-image SE(3) pose correction (CameraOptModule)
@@ -350,6 +352,7 @@ class Runner:
             img, alpha, meta = self.rasterize_splats(
                 params, batch_adj["viewmat"], batch["K"], W, H, sh_degree,
                 means2d_offset=means2d_offset if use_means2d_tap else None,
+                means2d_abs_tap=abs_tap if use_absgrad else None,
                 backgrounds=backgrounds,
                 render_mode=render_mode,
             )
@@ -419,11 +422,12 @@ class Runner:
 
         C = params["means"].shape[0]
         tap = jnp.zeros((B, 1, C, 2)) if use_means2d_tap else jnp.zeros(())
+        abs_tap = jnp.zeros((B, 1, C, 2)) if use_absgrad else jnp.zeros(())
         seg_in = seg_head if seg_head is not None else {}
         (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True
-        )(params, seg_in, aux_params, tap)
-        g_params, g_seg, g_aux, g_tap = grads
+            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
+        )(params, seg_in, aux_params, tap, abs_tap)
+        g_params, g_seg, g_aux, g_tap, g_abs = grads
 
         visibility = (aux["radii"] > 0).all(-1).any(axis=tuple(range(aux["radii"].ndim - 2)))
         params, opt_state = self.optimizer.update(
@@ -451,7 +455,9 @@ class Runner:
                 new_nu[k] = nu
             aux_params = new_aux
             aux_opt_state = {"mu": new_mu, "nu": new_nu}
-        aux["v_means2d"] = g_tap
+        # with absgrad the strategy consumes |per-tile| accumulations
+        # (reference strategy/default.py absgrad=True → means2d.absgrad)
+        aux["v_means2d"] = g_abs if use_absgrad else g_tap
         aux["visibility"] = visibility
         return (params, opt_state, seg_head, seg_opt_state, aux_params,
                 aux_opt_state, loss, aux)
@@ -532,6 +538,10 @@ class Runner:
 
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
             use_tap = isinstance(self.strategy, DefaultStrategy)
+            # AbsGS: only the 3DGS fused path exposes the abs tap
+            use_absgrad = (
+                use_tap and self.strategy.absgrad and cfg.model_type != "2dgs"
+            )
             lr_dict = {
                 k: jnp.float32(v) for k, v in self.optimizer.lr_at(step).items()
                 if k in self.splats
@@ -555,6 +565,7 @@ class Runner:
                 self.aux_params, self.aux_opt_state,
                 batch, lr_dict, k_step,
                 sh_degree=sh_degree, use_means2d_tap=use_tap,
+                use_absgrad=use_absgrad,
                 use_seg_loss=use_seg, use_spatial_reg=use_spatial,
             )
 

@@ -76,7 +76,7 @@ def render_target_scene(root, n_images=8, width=64, height=48):
             )
 
 
-@pytest.mark.parametrize("strategy", ["mcmc", "default"])
+@pytest.mark.parametrize("strategy", ["mcmc", "default", "default_absgrad"])
 def test_trainer_loss_drops_and_eval(tmp_path, strategy):
     render_target_scene(str(tmp_path / "scene"))
     strat = (
@@ -84,7 +84,8 @@ def test_trainer_loss_drops_and_eval(tmp_path, strategy):
                      refine_stop_iter=100, noise_lr=1e3)
         if strategy == "mcmc"
         else DefaultStrategy(refine_start_iter=10, refine_every=20,
-                             refine_stop_iter=100, reset_every=10_000)
+                             refine_stop_iter=100, reset_every=10_000,
+                             absgrad=strategy == "default_absgrad")
     )
     cfg = Config(
         data_dir=str(tmp_path / "scene"),
