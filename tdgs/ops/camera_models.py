@@ -18,6 +18,7 @@ from __future__ import annotations
 import enum
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from tdgs.ops.transforms import quat_normalize, quat_rotate, rotmat_to_quat
@@ -153,6 +154,106 @@ def project_point(
     else:
         raise ValueError(camera_model)
     return jnp.stack([fx * xd + cx, fy * yd + cy], axis=-1), valid
+
+
+def _undistort_opencv_pinhole(xd, yd, radial, tangential, thin_prism,
+                              iters: int = 8):
+    """Invert distort_opencv_pinhole by fixed-point iteration (the classic
+    cv2.undistortPoints scheme; Cameras.cuh image_point_to_camera_ray)."""
+    x, y = xd, yd
+    for _ in range(iters):
+        r2 = x * x + y * y
+        if radial is not None:
+            k1, k2, k3, k4, k5, k6 = [radial[..., i] for i in range(6)]
+            num = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+            den = 1.0 + r2 * (k4 + r2 * (k5 + r2 * k6))
+            scale = num / jnp.where(den == 0.0, 1.0, den)
+        else:
+            scale = jnp.ones_like(r2)
+        dx = jnp.zeros_like(x)
+        dy = jnp.zeros_like(y)
+        if tangential is not None:
+            p1, p2 = tangential[..., 0], tangential[..., 1]
+            dx = dx + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = dy + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+        if thin_prism is not None:
+            s1, s2, s3, s4 = [thin_prism[..., i] for i in range(4)]
+            dx = dx + r2 * (s1 + s2 * r2)
+            dy = dy + r2 * (s3 + s4 * r2)
+        scale = jnp.where(jnp.abs(scale) < 1e-9, 1e-9, scale)
+        x = (xd - dx) / scale
+        y = (yd - dy) / scale
+    return x, y
+
+
+def _invert_fisheye_theta(theta_d, coeffs, iters: int = 8):
+    """Solve θ·(1 + k1θ² + k2θ⁴ + k3θ⁶ + k4θ⁸) = θ_d by Newton."""
+    if coeffs is None:
+        return theta_d
+    k1, k2, k3, k4 = [coeffs[..., i] for i in range(4)]
+    theta = theta_d
+    for _ in range(iters):
+        t2 = theta * theta
+        f = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4))))
+        df = 1.0 + t2 * (
+            3.0 * k1 + t2 * (5.0 * k2 + t2 * (7.0 * k3 + 9.0 * k4 * t2))
+        )
+        theta = theta - (f - theta_d) / jnp.where(jnp.abs(df) < 1e-9, 1.0, df)
+    return theta
+
+
+def unproject_pixel(
+    pixels: jnp.ndarray,  # [..., 2] pixel centers
+    Ks: jnp.ndarray,  # [..., 3, 3]
+    camera_model: str = "pinhole",
+    radial_coeffs: Optional[jnp.ndarray] = None,
+    tangential_coeffs: Optional[jnp.ndarray] = None,
+    thin_prism_coeffs: Optional[jnp.ndarray] = None,
+    ftheta_coeffs: Optional[FThetaCameraDistortionParameters] = None,
+) -> jnp.ndarray:
+    """Pixel → unit camera-space ray direction (inverse of project_point;
+    the reference's Cameras.cuh image_point_to_camera_ray family). Used by
+    the eval3d world-space rasterizer. Returns [..., 3] unit vectors."""
+    fx = Ks[..., 0, 0]
+    fy = Ks[..., 1, 1]
+    cx = Ks[..., 0, 2]
+    cy = Ks[..., 1, 2]
+    u = pixels[..., 0]
+    v = pixels[..., 1]
+
+    if camera_model == "ftheta":
+        params = ftheta_coeffs or FThetaCameraDistortionParameters()
+        du, dv = u - cx, v - cy
+        rd = jnp.sqrt(du * du + dv * dv)
+        theta = _polyval(params.pixeldist_to_angle_poly, rd)
+        rd_safe = jnp.where(rd < 1e-9, 1.0, rd)
+        s = jnp.sin(theta)
+        d = jnp.stack(
+            [du / rd_safe * s, dv / rd_safe * s, jnp.cos(theta)], axis=-1
+        )
+        # on-axis pixel: sin/rd → 0/0, direction is +z
+        return jnp.where(rd[..., None] < 1e-9,
+                         jnp.array([0.0, 0.0, 1.0], d.dtype), d)
+
+    xd = (u - cx) / fx
+    yd = (v - cy) / fy
+    if camera_model == "pinhole":
+        x, y = _undistort_opencv_pinhole(
+            xd, yd, radial_coeffs, tangential_coeffs, thin_prism_coeffs
+        )
+    elif camera_model == "fisheye":
+        theta_d = jnp.sqrt(xd * xd + yd * yd)
+        theta = _invert_fisheye_theta(theta_d, radial_coeffs)
+        r = jnp.tan(theta)
+        td_safe = jnp.where(theta_d < 1e-9, 1.0, theta_d)
+        x = xd / td_safe * r
+        y = yd / td_safe * r
+    else:
+        raise ValueError(
+            f"unproject_pixel: unsupported camera model {camera_model!r}"
+        )
+    d = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    return d * jax.lax.rsqrt(jnp.sum(d * d, axis=-1, keepdims=True))
 
 
 # ---------------------------------------------------------------------------

@@ -329,6 +329,51 @@ def rasterization(
         }
     )
 
+    if rasterizer == "eval3d":
+        # world-space rasterization (3DGUT eval3d branch, reference
+        # rendering.py:668-759): evaluate the true gaussian response along
+        # each pixel's distorted camera ray; tile lists come from the
+        # (possibly UT) projection above.
+        from tdgs.ops.rasterize_eval3d import rasterize_to_pixels_eval3d_jax
+
+        assert not batch_dims, "eval3d supports unbatched [N] gaussians"
+        assert quats is not None, "eval3d requires quats/scales (not covars)"
+        assert means2d_abs_tap is None, "absgrad: use the 'packed'/'jax' path"
+        render_colors, render_alphas = rasterize_to_pixels_eval3d_jax(
+            means, quats, scales,
+            colors_cn.reshape(I, N, D),
+            opacities_cn.reshape(I, N),
+            viewmats.reshape(I, 4, 4),
+            Ks.reshape(I, 3, 3),
+            width, height, tile_size,
+            isect_offsets, isect.flatten_ids, isect.n_isects,
+            camera_model=camera_model,
+            radial_coeffs=radial_coeffs,
+            tangential_coeffs=tangential_coeffs,
+            thin_prism_coeffs=thin_prism_coeffs,
+            ftheta_coeffs=ftheta_coeffs,
+            backgrounds=(
+                backgrounds.reshape(I, -1) if backgrounds is not None else None
+            ),
+            tile_capacity=tile_capacity,
+        )
+        render_colors = render_colors.reshape(
+            batch_dims + (C, height, width, D)
+        )
+        render_alphas = render_alphas.reshape(
+            batch_dims + (C, height, width, 1)
+        )
+        if render_mode in ("ED", "RGB+ED"):
+            render_colors = jnp.concatenate(
+                [
+                    render_colors[..., :-1],
+                    render_colors[..., -1:]
+                    / jnp.maximum(render_alphas, 1e-10),
+                ],
+                axis=-1,
+            )
+        return render_colors, render_alphas, meta
+
     if rasterizer == "jax":
         rasterize_fn = rasterize_to_pixels_jax
     elif rasterizer == "pallas":
