@@ -70,6 +70,7 @@ def create_splats(
     init_scale_mult: float = 1.0,
     n_max: Optional[int] = None,
     identity_dim: int = 0,
+    feature_dim: int = 0,
     means_lr_scene_scale: float = 1.0,
 ) -> SplatParams:
     """Initialize splats from points (SfM init), padding to static ``n_max``.
@@ -108,6 +109,16 @@ def create_splats(
         # (reference: simple_trainer.py:315-319)
         params["identity_encodings"] = (
             jax.random.normal(k_rgb, (m, identity_dim)) * 0.1
+        ).astype(jnp.float32)
+    if feature_dim > 0:
+        # appearance-optimization mode (reference simple_trainer.py:321-330):
+        # per-gaussian feature vectors + logit base colors consumed by the
+        # AppearanceOptModule instead of SH
+        params["features"] = jax.random.uniform(
+            k_quat, (m, feature_dim)
+        ).astype(jnp.float32)
+        params["colors"] = jnp.log(
+            jnp.clip(rgbs, 1e-4, 1 - 1e-4) / (1 - jnp.clip(rgbs, 1e-4, 1 - 1e-4))
         ).astype(jnp.float32)
 
     if n_max > m:

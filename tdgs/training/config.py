@@ -91,6 +91,13 @@ class Config:
     pose_opt: bool = False
     pose_opt_lr: float = 1e-5
     pose_opt_reg: float = 1e-6
+    # appearance optimization (reference simple_trainer.py:161-167):
+    # per-image embedding + MLP over per-gaussian features instead of SH
+    app_opt: bool = False
+    app_embed_dim: int = 16
+    app_opt_lr: float = 1e-3
+    app_opt_reg: float = 1e-6
+    feature_dim: int = 32
     pose_noise: float = 0.0
 
     # appearance optimization (reference AppearanceOptModule)

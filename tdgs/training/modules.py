@@ -84,13 +84,16 @@ def init_appearance_opt(
     keys = jax.random.split(key, mlp_depth + 2)
     params: Dict[str, jnp.ndarray] = {
         "embeds": jnp.zeros((n_images, embed_dim)),
-        "meta": jnp.array([embed_dim, sh_degree], jnp.int32),
     }
     dims = [in_dim] + [mlp_width] * mlp_depth + [3]
     for i in range(len(dims) - 1):
         s = (2.0 / dims[i]) ** 0.5
         params[f"w{i}"] = jax.random.normal(keys[i], (dims[i], dims[i + 1])) * s
         params[f"b{i}"] = jnp.zeros((dims[i + 1],))
+    # zero-init the color head so training starts from the base colors
+    # (reference simple_trainer.py:501-502)
+    last = len(dims) - 2
+    params[f"w{last}"] = jnp.zeros_like(params[f"w{last}"])
     return params
 
 

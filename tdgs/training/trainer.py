@@ -47,6 +47,9 @@ def make_lr_schedules(cfg: Config, scene_scale: float, max_steps: int):
         "sh0": cfg.sh0_lr * bs_scale,
         "shN": cfg.shN_lr * bs_scale,
         "identity_encodings": cfg.sh0_lr * bs_scale,
+        # appearance-mode params (reference simple_trainer.py:328-332)
+        "features": cfg.sh0_lr * bs_scale,
+        "colors": cfg.sh0_lr * bs_scale,
     }
 
 
@@ -159,6 +162,20 @@ class Runner:
                 len(self.trainset), gw, gh, gg
             )
             self.aux_lrs["bilagrid"] = 2e-3
+        if cfg.app_opt:
+            # per-image embedding + color MLP (reference
+            # simple_trainer.py:494-515; embeds lr is 10x the MLP lr)
+            from tdgs.training.modules import init_appearance_opt
+
+            app = init_appearance_opt(
+                seg_key, len(self.trainset), cfg.feature_dim,
+                embed_dim=cfg.app_embed_dim, sh_degree=cfg.sh_degree,
+            )
+            bs_scale = math.sqrt(cfg.batch_size)
+            self.aux_params["app_embeds"] = app.pop("embeds")
+            self.aux_params["app_mlp"] = app
+            self.aux_lrs["app_embeds"] = cfg.app_opt_lr * bs_scale * 10.0
+            self.aux_lrs["app_mlp"] = cfg.app_opt_lr * bs_scale
         self.aux_opt_state = {
             "mu": jax.tree.map(jnp.zeros_like, self.aux_params),
             "nu": jax.tree.map(jnp.zeros_like, self.aux_params),
@@ -211,6 +228,7 @@ class Runner:
             init_scale_mult=cfg.init_scale,
             n_max=capacity,
             identity_dim=cfg.identity_dim if cfg.with_segmentation else 0,
+            feature_dim=cfg.feature_dim if cfg.app_opt else 0,
         )
 
     # ------------------------------------------------------------------
@@ -227,13 +245,34 @@ class Runner:
         override_features: Optional[jnp.ndarray] = None,
         backgrounds: Optional[jnp.ndarray] = None,
         render_mode: str = "RGB",
+        app_params: Optional[Dict] = None,
+        image_ids: Optional[jnp.ndarray] = None,
     ):
         """(reference Runner.rasterize_splats:559, incl. the
-        override_features identity-rendering path :578-584)."""
+        override_features identity-rendering path :578-584 and the
+        app_opt appearance-MLP color path :585-593)."""
         cfg = self.cfg
         means, quats, scales, opacities, sh = G.splat_activations(params)
+        if cfg.app_opt and app_params is None:
+            app_params = self.aux_params  # eval/render paths outside jit
         if override_features is not None:
             colors = override_features
+            sh_deg = None
+        elif cfg.app_opt:
+            from tdgs.training.modules import apply_appearance_opt
+
+            app = dict(app_params["app_mlp"], embeds=app_params["app_embeds"])
+            # dirs from the camera centers: c2w translation = −Rᵀt
+            R = viewmats[..., :3, :3]
+            t = viewmats[..., :3, 3]
+            campos = -jnp.einsum("...kj,...k->...j", R, t).reshape(-1, 3)
+            dirs = means[None, :, :] - campos[:, None, :]  # [C, N, 3]
+            colors = apply_appearance_opt(
+                app, params["features"], image_ids, dirs, sh_degree,
+                max_sh_degree=cfg.sh_degree,
+            )
+            colors = jax.nn.sigmoid(colors + params["colors"][None])
+            colors = colors.reshape(viewmats.shape[:-2] + colors.shape[-2:])
             sh_deg = None
         else:
             colors = sh
@@ -355,6 +394,8 @@ class Runner:
                 means2d_abs_tap=abs_tap if use_absgrad else None,
                 backgrounds=backgrounds,
                 render_mode=render_mode,
+                app_params=aux if cfg.app_opt else None,
+                image_ids=batch.get("image_id"),
             )
             colors = img[..., :3]
             if "bilagrid" in aux:
@@ -371,6 +412,12 @@ class Runner:
                 loss = loss + 10.0 * total_variation_loss(aux["bilagrid"])
             if "pose" in aux:
                 loss = loss + cfg.pose_opt_reg * jnp.mean(aux["pose"] ** 2)
+            if cfg.app_opt:
+                # weight-decay-equivalent on the appearance embeddings
+                # (reference app optimizer weight_decay=app_opt_reg)
+                loss = loss + cfg.app_opt_reg * jnp.mean(
+                    aux["app_embeds"] ** 2
+                )
             if cfg.depth_loss:
                 loss = loss + cfg.depth_lambda * L.depth_loss_sparse(
                     img[..., 3:], batch["points"], batch["depths"],
@@ -446,10 +493,19 @@ class Runner:
         if aux_params:
             new_aux, new_mu, new_nu = {}, {}, {}
             for k, g in g_aux.items():
-                mu = 0.9 * aux_opt_state["mu"][k] + 0.1 * g
-                nu = 0.999 * aux_opt_state["nu"][k] + 0.001 * g * g
-                new_aux[k] = aux_params[k] - lr_dict[f"aux_{k}"] * mu / (
-                    jnp.sqrt(nu) + 1e-15
+                # each aux entry may be an array or a pytree (app MLP)
+                mu = jax.tree.map(
+                    lambda s, gg: 0.9 * s + 0.1 * gg,
+                    aux_opt_state["mu"][k], g,
+                )
+                nu = jax.tree.map(
+                    lambda s, gg: 0.999 * s + 0.001 * gg * gg,
+                    aux_opt_state["nu"][k], g,
+                )
+                lr = lr_dict[f"aux_{k}"]
+                new_aux[k] = jax.tree.map(
+                    lambda p, m, n: p - lr * m / (jnp.sqrt(n) + 1e-15),
+                    aux_params[k], mu, nu,
                 )
                 new_mu[k] = mu
                 new_nu[k] = nu

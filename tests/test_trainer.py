@@ -123,6 +123,43 @@ def test_trainer_loss_drops_and_eval(tmp_path, strategy):
     )
 
 
+def test_trainer_app_opt(tmp_path):
+    """Appearance optimization (reference app_opt): per-image embedding +
+    MLP over per-gaussian features replaces SH colors; loss must drop and
+    eval (embed-free) must render."""
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=50,
+        eval_steps=[50],
+        save_steps=[],
+        sh_degree=1,
+        sh_degree_interval=20,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=10,
+        rasterizer="jax",
+        app_opt=True,
+        feature_dim=8,
+        app_embed_dim=4,
+    )
+    runner = Runner(cfg)
+    assert "features" in runner.splats and "colors" in runner.splats
+    assert "app_embeds" in runner.aux_params
+    out = runner.train()
+    hist = out["history"]
+    assert hist[-1]["loss"] < hist[0]["loss"] * 0.9, hist
+    # embeddings actually trained
+    assert np.abs(np.asarray(runner.aux_params["app_embeds"])).max() > 0
+    stats = runner.eval(50)
+    assert stats["psnr"] > 12.0, stats
+
+
 def test_trainer_2dgs_variant(tmp_path):
     """2DGS trainer (reference simple_trainer_2dgs.py): surfel model with
     normal-consistency + distortion losses."""
