@@ -212,6 +212,7 @@ class Dataset:
         self.split = split
         self.patch_size = patch_size
         self.load_depths = load_depths
+        self._prefetcher = None
         n = len(parser.image_names)
         idx = np.arange(n)
         if split == "train":
@@ -222,11 +223,37 @@ class Dataset:
     def __len__(self):
         return len(self.indices)
 
+    def enable_prefetch(self, n_threads: int = 4) -> bool:
+        """Start the native decode-ahead prefetcher (the TPU-native
+        counterpart of torch DataLoader workers, reference
+        simple_trainer.py DataLoader(num_workers=4)). Returns False when
+        the native loader is unavailable (PIL fallback stays in place)."""
+        from tdgs.datasets._native import NativePrefetcher, get_lib
+
+        if get_lib() is None:
+            return False
+        self._prefetcher = NativePrefetcher(
+            list(self.parser.image_paths), factor=1, n_threads=n_threads
+        )
+        return True
+
+    def prefetch(self, items) -> None:
+        """Queue decode-ahead for upcoming DATASET indices (non-blocking)."""
+        if self._prefetcher is None:
+            return
+        for it in np.asarray(items).reshape(-1):
+            self._prefetcher.request(int(self.indices[int(it)]))
+
     def __getitem__(self, item: int) -> Dict[str, Any]:
         p = self.parser
         index = int(self.indices[item])
         cam_id = p.camera_ids[index]
-        image = _imread(p.image_paths[index]).astype(np.float32) / 255.0
+        image = None
+        if self._prefetcher is not None:
+            image = self._prefetcher.get(index)  # blocks only if not ready
+        if image is None:
+            image = _imread(p.image_paths[index])
+        image = image.astype(np.float32) / 255.0
         image = p.undistort(cam_id, image)
         K = p.Ks_dict[cam_id].astype(np.float32)
         camtoworld = p.camtoworlds[index]

@@ -100,11 +100,8 @@ class Config:
     feature_dim: int = 32
     pose_noise: float = 0.0
 
-    # appearance optimization (reference AppearanceOptModule)
-    app_opt: bool = False
-    app_embed_dim: int = 16
-    app_opt_lr: float = 1e-3
-    app_opt_reg: float = 1e-6
+    # native decode-ahead data loading (counterpart of DataLoader workers)
+    data_prefetch: bool = True
 
     # identity-vector segmentation (fork extension, simple_trainer.py:198-220)
     with_segmentation: bool = False

@@ -118,6 +118,11 @@ class Runner:
             load_depths=cfg.depth_loss,
         )
         self.valset = Dataset(self.parser, "val")
+        if cfg.data_prefetch:
+            try:
+                self.trainset.enable_prefetch()
+            except Exception:
+                pass  # PIL fallback stays in place
         self.scene_scale = self.parser.scene_scale * 1.1 * cfg.init_extent / 3.0
 
         key = jax.random.PRNGKey(cfg.seed)
@@ -560,6 +565,9 @@ class Runner:
                 cursor = 0
             idx = order[cursor : cursor + cfg.batch_size]
             cursor += cfg.batch_size
+            # decode-ahead: queue the next few steps' images on the native
+            # prefetcher threads while this step computes
+            self.trainset.prefetch(order[cursor : cursor + 4 * cfg.batch_size])
 
             # batch with camera dim: [B, C=1, ...] — flatten B into cameras
             items = [self.trainset[int(i)] for i in idx]

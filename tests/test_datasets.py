@@ -147,3 +147,27 @@ def test_undistortion_identity_for_pinhole(tmp_path):
     img = np.random.default_rng(2).uniform(size=(48, 64, 3)).astype(np.float32)
     out = parser.undistort(1, img)
     np.testing.assert_array_equal(out, img)  # PINHOLE: no distortion params
+
+
+def test_dataset_prefetch_matches_sync(tmp_path):
+    """Native decode-ahead must return byte-identical items to the
+    synchronous path (trainer wiring: Dataset.enable_prefetch/prefetch)."""
+    from tdgs.datasets._native import get_lib
+
+    write_synthetic_colmap(str(tmp_path))
+    parser = Parser(str(tmp_path), factor=1, normalize=True, test_every=3)
+    ds_sync = Dataset(parser, "train")
+    ds_pre = Dataset(parser, "train")
+    if not ds_pre.enable_prefetch(n_threads=2):
+        import pytest
+
+        pytest.skip("native loader unavailable")
+    ds_pre.prefetch(np.arange(len(ds_pre)))
+    for i in range(len(ds_sync)):
+        a = ds_sync[i]
+        b = ds_pre[i]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        assert a["image_id"] == b["image_id"]
+    # second epoch (slots were consumed and reset)
+    ds_pre.prefetch([0, 1])
+    np.testing.assert_array_equal(ds_pre[0]["image"], ds_sync[0]["image"])
