@@ -679,6 +679,9 @@ class Runner:
             gt = jnp.asarray(d["image"])
             metrics["psnr"].append(float(L.psnr(pred, gt)))
             metrics["ssim"].append(float(L.ssim(pred[None], gt[None])))
+            from tdgs.training.metrics import lpips
+
+            metrics["lpips"].append(float(lpips(pred[None], gt[None])[0]))
         ellipse = (time.time() - t0) / max(len(self.valset), 1)
         out = {k: float(np.mean(v)) for k, v in metrics.items()}
         out["ellipse_time"] = ellipse

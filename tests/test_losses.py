@@ -56,3 +56,20 @@ def test_ssim_matches_torch_reference():
         )
     )
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_lpips_metric_properties():
+    """LPIPS proxy: zero at identity, monotone under increasing corruption,
+    deterministic across calls."""
+    import jax.numpy as jnp
+    from tdgs.training.metrics import lpips
+
+    rng = np.random.default_rng(99)
+    img = jnp.asarray(rng.uniform(size=(1, 64, 64, 3)), jnp.float32)
+    noise = jnp.asarray(rng.normal(size=(1, 64, 64, 3)), jnp.float32)
+    d0 = float(lpips(img, img)[0])
+    d1 = float(lpips(img, jnp.clip(img + 0.05 * noise, 0, 1))[0])
+    d2 = float(lpips(img, jnp.clip(img + 0.2 * noise, 0, 1))[0])
+    assert d0 < 1e-6
+    assert d0 < d1 < d2
+    assert float(lpips(img, jnp.clip(img + 0.2 * noise, 0, 1))[0]) == d2
