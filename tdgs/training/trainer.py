@@ -472,9 +472,11 @@ class Runner:
             }
             return loss, aux
 
+        # the training batch is folded into the camera axis (viewmats
+        # [B, 4, 4]) so the screen-grad taps match meta["means2d"] [B, N, 2]
         C = params["means"].shape[0]
-        tap = jnp.zeros((B, 1, C, 2)) if use_means2d_tap else jnp.zeros(())
-        abs_tap = jnp.zeros((B, 1, C, 2)) if use_absgrad else jnp.zeros(())
+        tap = jnp.zeros((B, C, 2)) if use_means2d_tap else jnp.zeros(())
+        abs_tap = jnp.zeros((B, C, 2)) if use_absgrad else jnp.zeros(())
         seg_in = seg_head if seg_head is not None else {}
         (loss, aux), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
@@ -640,7 +642,7 @@ class Runner:
             }
             if use_tap:
                 self.strategy_state = self.strategy.update_state(
-                    self.strategy_state, info, aux["v_means2d"][:, 0]
+                    self.strategy_state, info, aux["v_means2d"]
                 )
             self.splats, self.opt_state, self.strategy_state = (
                 self.strategy.step_post_backward(

@@ -123,6 +123,36 @@ def test_trainer_loss_drops_and_eval(tmp_path, strategy):
     )
 
 
+def test_trainer_batch_size_2(tmp_path):
+    """batch_size > 1: images fold into the camera axis; the means2d tap
+    and DefaultStrategy state must keep consistent shapes."""
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=30,
+        eval_steps=[],
+        save_steps=[],
+        batch_size=2,
+        sh_degree=1,
+        sh_degree_interval=20,
+        strategy=DefaultStrategy(refine_start_iter=10, refine_every=10,
+                                 refine_stop_iter=100, reset_every=10_000),
+        capacity=512,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=10,
+        rasterizer="jax",
+    )
+    runner = Runner(cfg)
+    out = runner.train()
+    hist = out["history"]
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+    assert np.isfinite(np.asarray(runner.strategy_state["grad2d"])).all()
+
+
 def test_trainer_app_opt(tmp_path):
     """Appearance optimization (reference app_opt): per-image embedding +
     MLP over per-gaussian features replaces SH colors; loss must drop and
