@@ -36,6 +36,8 @@ import jax.numpy as jnp
 
 from tdgs.ops.camera_models import (
     FThetaCameraDistortionParameters,
+    RollingShutterType,
+    shutter_time_from_pixel,
     unproject_pixel,
 )
 from tdgs.ops.projection import ALPHA_THRESHOLD
@@ -44,7 +46,12 @@ from tdgs.ops.rasterize_jax import (
     composite_prefix,
     gather_tile_gaussians,
 )
-from tdgs.ops.transforms import quat_to_rotmat
+from tdgs.ops.transforms import (
+    quat_normalize,
+    quat_rotate,
+    quat_to_rotmat,
+    rotmat_to_quat,
+)
 
 
 def rasterize_to_pixels_eval3d_jax(
@@ -68,8 +75,21 @@ def rasterize_to_pixels_eval3d_jax(
     ftheta_coeffs: Optional[FThetaCameraDistortionParameters] = None,
     backgrounds: Optional[jnp.ndarray] = None,  # [I, D]
     tile_capacity: int = 1024,
+    rolling_shutter: RollingShutterType = RollingShutterType.GLOBAL,
+    viewmats_rs: Optional[jnp.ndarray] = None,  # [I, 4, 4] frame-end poses
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1])."""
+    """Returns (render_colors [I, H, W, D], render_alphas [I, H, W, 1]).
+
+    With ``rolling_shutter`` ≠ GLOBAL and ``viewmats_rs`` given, each
+    pixel's ray uses the SE(3)-interpolated pose at its shutter time
+    (Cameras.cuh RollingShutterParameters + the world-space kernel's
+    per-pixel ray origins) — per-pixel origins keep every term in
+    [T, P, cap] via quadratic-form expansions of the precision matrix.
+
+    IMPORTANT: under rolling shutter the intersection lists must come from
+    the RS-aware UT projection (rasterization(..., with_ut=True,
+    rolling_shutter=..., viewmats_rs=...)); start-pose-only tiling leaves
+    tile-boundary holes as the camera moves within the frame."""
     I = viewmats.shape[0]
     N = means.shape[0]
     D = colors.shape[-1]
@@ -92,15 +112,10 @@ def rasterize_to_pixels_eval3d_jax(
     # Camera centers / rotations (world→cam: o = −Rᵀt, d_world = Rᵀ d_cam).
     R_wc = viewmats[:, :3, :3]
     t_wc = viewmats[:, :3, 3]
-    origins = -jnp.einsum("ikj,ik->ij", R_wc, t_wc, precision="highest")
-
-    # Per-(camera, gaussian) pixel-independent terms, flattened to I*N so
-    # flatten_ids (which index I*N) gather them directly.
-    delta = origins[:, None, :] - means[None, :, :]  # [I, N, 3]
-    g = jnp.einsum("nkj,inj->ink", M, delta, precision="highest")  # [I,N,3]
-    gg = jnp.sum(g * g, axis=-1)  # [I, N]
-    # u = Mᵀ g  (so g·r = d_world · u)
-    u = jnp.einsum("nkj,ink->inj", M, g, precision="highest")  # [I, N, 3]
+    use_rs = (
+        viewmats_rs is not None
+        and rolling_shutter != RollingShutterType.GLOBAL
+    )
 
     gauss_ids, valid = gather_tile_gaussians(
         isect_offsets.reshape(I, tile_height, tile_width),
@@ -109,8 +124,6 @@ def rasterize_to_pixels_eval3d_jax(
     T_total = gauss_ids.shape[0]
     tiles_per_image = tile_height * tile_width
 
-    e_gg = gg.reshape(I * N)[gauss_ids]  # [T, cap]
-    e_u = u.reshape(I * N, 3)[gauss_ids]  # [T, cap, 3]
     e_p6 = prec6[None].repeat(I, 0).reshape(I * N, 6)[gauss_ids]  # [T,cap,6]
     e_colors = colors.reshape(I * N, D)[gauss_ids]
     e_opac = opacities.reshape(I * N)[gauss_ids]
@@ -137,23 +150,87 @@ def rasterize_to_pixels_eval3d_jax(
         thin_prism_coeffs=per_cam(thin_prism_coeffs),
         ftheta_coeffs=ftheta_coeffs,
     )  # [T, P, 3] unit, camera frame
-    d = jnp.einsum(
-        "tkj,tpk->tpj", R_wc[img_of_tile], d_cam, precision="highest"
-    )  # world frame
+
+    def sym6(a, b):
+        """6-vector of the symmetric outer product ½(abᵀ + baᵀ) ordered to
+        contract against prec6 (diag + doubled off-diag)."""
+        return jnp.stack(
+            [
+                a[..., 0] * b[..., 0], a[..., 1] * b[..., 1],
+                a[..., 2] * b[..., 2],
+                0.5 * (a[..., 0] * b[..., 1] + a[..., 1] * b[..., 0]),
+                0.5 * (a[..., 0] * b[..., 2] + a[..., 2] * b[..., 0]),
+                0.5 * (a[..., 1] * b[..., 2] + a[..., 2] * b[..., 1]),
+            ],
+            axis=-1,
+        )
+
+    if not use_rs:
+        # Global shutter: per-(camera, gaussian) terms are pixel-independent.
+        origins = -jnp.einsum("ikj,ik->ij", R_wc, t_wc, precision="highest")
+        delta = origins[:, None, :] - means[None, :, :]  # [I, N, 3]
+        g = jnp.einsum("nkj,inj->ink", M, delta, precision="highest")
+        gg = jnp.sum(g * g, axis=-1)  # [I, N]
+        # u = Mᵀ g  (so g·r = d_world · u)
+        u = jnp.einsum("nkj,ink->inj", M, g, precision="highest")
+        e_gg = gg.reshape(I * N)[gauss_ids]  # [T, cap]
+        e_u = u.reshape(I * N, 3)[gauss_ids]  # [T, cap, 3]
+        d = jnp.einsum(
+            "tkj,tpk->tpj", R_wc[img_of_tile], d_cam, precision="highest"
+        )  # world frame
+        gr = jnp.einsum("tpj,tej->tpe", d, e_u, precision="highest")
+        gg_tpe = e_gg[:, None, :]
+    else:
+        # Rolling shutter: each pixel rides the SE(3)-interpolated pose at
+        # its shutter time; expand |g|² and g·r as precision quadratic
+        # forms so everything stays [T, P, {3, 6, cap}]-shaped.
+        t_sh = shutter_time_from_pixel(
+            pixels, image_width, image_height, rolling_shutter
+        )  # [T, P]
+        q0 = rotmat_to_quat(R_wc)  # [I, 4] world→cam
+        q1 = rotmat_to_quat(viewmats_rs[:, :3, :3])
+        sign = jnp.where(
+            jnp.sum(q0 * q1, axis=-1, keepdims=True) < 0, -1.0, 1.0
+        )
+        q0t = q0[img_of_tile][:, None]  # [T, 1, 4]
+        q1t = (q1 * sign)[img_of_tile][:, None]
+        q = quat_normalize(
+            q0t * (1.0 - t_sh[..., None]) + q1t * t_sh[..., None]
+        )  # [T, P, 4]
+        trans = (
+            t_wc[img_of_tile][:, None] * (1.0 - t_sh[..., None])
+            + viewmats_rs[:, :3, 3][img_of_tile][:, None] * t_sh[..., None]
+        )  # [T, P, 3]
+        q_inv = q * jnp.array([1.0, -1.0, -1.0, -1.0], q.dtype)
+        o = -quat_rotate(q_inv, trans)  # [T, P, 3] camera center, world
+        d = quat_rotate(q_inv, d_cam)  # [T, P, 3] ray, world
+
+        mu = jnp.broadcast_to(means[None], (I, N, 3)).reshape(I * N, 3)[
+            gauss_ids
+        ]  # [T, cap, 3]
+        # w = Σ⁻¹ μ (per entry, precomputed per gaussian) for cross terms
+        w_n = jnp.einsum("njk,nk->nj", prec, means, precision="highest")
+        w = jnp.broadcast_to(w_n[None], (I, N, 3)).reshape(I * N, 3)[
+            gauss_ids
+        ]  # [T, cap, 3]
+        muAmu = jnp.sum(w * mu, axis=-1)  # [T, cap]
+        oAo = jnp.einsum(
+            "tpj,tej->tpe", sym6(o, o), e_p6, precision="highest"
+        )
+        oAmu = jnp.einsum("tpj,tej->tpe", o, w, precision="highest")
+        oAd = jnp.einsum(
+            "tpj,tej->tpe", sym6(o, d), e_p6, precision="highest"
+        )
+        muAd = jnp.einsum("tpj,tej->tpe", d, w, precision="highest")
+        gg_tpe = oAo - 2.0 * oAmu + muAmu[:, None, :]
+        gr = oAd - muAd  # (o − μ)ᵀ Σ⁻¹ d = g·r
 
     # σ* per (tile, pixel, entry)
-    gr = jnp.einsum("tpj,tej->tpe", d, e_u, precision="highest")
-    d6 = jnp.stack(
-        [
-            d[..., 0] * d[..., 0], d[..., 1] * d[..., 1],
-            d[..., 2] * d[..., 2], d[..., 0] * d[..., 1],
-            d[..., 0] * d[..., 2], d[..., 1] * d[..., 2],
-        ],
-        axis=-1,
-    )  # [T, P, 6]
-    rr = jnp.einsum("tpj,tej->tpe", d6, e_p6, precision="highest")
+    rr = jnp.einsum(
+        "tpj,tej->tpe", sym6(d, d), e_p6, precision="highest"
+    )
     rr = jnp.maximum(rr, 1e-12)
-    sigma = 0.5 * (e_gg[:, None, :] - gr * gr / rr)  # [T, P, cap]
+    sigma = 0.5 * (gg_tpe - gr * gr / rr)  # [T, P, cap]
     t_star = -gr / rr  # distance along the (unit) ray to the best response
 
     alpha = jnp.minimum(

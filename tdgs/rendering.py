@@ -334,6 +334,7 @@ def rasterization(
         # rendering.py:668-759): evaluate the true gaussian response along
         # each pixel's distorted camera ray; tile lists come from the
         # (possibly UT) projection above.
+        from tdgs.ops.camera_models import RollingShutterType
         from tdgs.ops.rasterize_eval3d import rasterize_to_pixels_eval3d_jax
 
         assert not batch_dims, "eval3d supports unbatched [N] gaussians"
@@ -356,6 +357,14 @@ def rasterization(
                 backgrounds.reshape(I, -1) if backgrounds is not None else None
             ),
             tile_capacity=tile_capacity,
+            rolling_shutter=(
+                rolling_shutter if rolling_shutter is not None
+                else RollingShutterType.GLOBAL
+            ),
+            viewmats_rs=(
+                viewmats_rs.reshape(I, 4, 4)
+                if viewmats_rs is not None else None
+            ),
         )
         render_colors = render_colors.reshape(
             batch_dims + (C, height, width, D)

@@ -188,3 +188,67 @@ def test_eval3d_fisheye_with_ut():
     )
     assert np.isfinite(np.asarray(img)).all()
     assert np.asarray(alpha).max() > 0.2
+
+
+def test_eval3d_rolling_shutter_identity():
+    """RS with end pose == start pose must equal the global-shutter render
+    exactly (pose interpolation degenerates to the constant pose)."""
+    from tdgs.ops.camera_models import RollingShutterType
+
+    rng = np.random.default_rng(214)
+    means, quats, scales, opac, colors, viewmats = make_scene(rng, N=24)
+    common = dict(
+        rasterizer="eval3d", tile_capacity=128, max_tiles_per_gauss=16,
+    )
+    img_g, _, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(K), 96, 64, **common,
+    )
+    img_rs, _, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(K), 96, 64,
+        rolling_shutter=RollingShutterType.TOP_TO_BOTTOM,
+        viewmats_rs=jnp.asarray(viewmats), **common,
+    )
+    # the RS path evaluates |g|² via the expanded quadratic form
+    # (oᵀAo − 2oᵀAμ + μᵀAμ) — equal math, f32 cancellation ~1e-3
+    np.testing.assert_allclose(
+        np.asarray(img_rs), np.asarray(img_g), atol=2e-3
+    )
+
+
+def test_eval3d_rolling_shutter_blends_poses():
+    """TOP_TO_BOTTOM with a translated end pose: the first row matches the
+    start-pose global render, the last row matches the end-pose one."""
+    from tdgs.ops.camera_models import RollingShutterType
+
+    rng = np.random.default_rng(215)
+    means, quats, scales, opac, colors, viewmats = make_scene(rng, N=24)
+    vm_end = viewmats.copy()
+    vm_end[0, 0, 3] += 0.4  # shift camera along x at frame end
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors),
+    )
+    common = dict(
+        rasterizer="eval3d", tile_capacity=128, max_tiles_per_gauss=32,
+    )
+    h = 64
+    img_start, _, _ = rasterization(
+        *args, jnp.asarray(viewmats), jnp.asarray(K), 96, h, **common)
+    img_end, _, _ = rasterization(
+        *args, jnp.asarray(vm_end), jnp.asarray(K), 96, h, **common)
+    img_rs, _, _ = rasterization(
+        *args, jnp.asarray(viewmats), jnp.asarray(K), 96, h,
+        rolling_shutter=RollingShutterType.TOP_TO_BOTTOM,
+        viewmats_rs=jnp.asarray(vm_end), **common)
+    a = np.asarray(img_rs)
+    s = np.asarray(img_start)
+    e = np.asarray(img_end)
+    # row 0: t = 0.5/H ≈ 0 → start pose; last row: t ≈ 1 → end pose
+    assert np.abs(a[0, 0] - s[0, 0]).max() < 2e-2
+    assert np.abs(a[0, -1] - e[0, -1]).max() < 2e-2
+    # and the RS frame genuinely differs from both single-pose renders
+    assert np.abs(a - s).mean() > 1e-3 and np.abs(a - e).mean() > 1e-3
