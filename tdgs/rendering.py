@@ -587,3 +587,40 @@ def rasterization_2dgs(
         render_median,
         meta,
     )
+
+
+def rasterization_inria_wrapper(
+    means, quats, scales, opacities, colors, viewmats, Ks,
+    width: int, height: int,
+    near_plane: float = 0.01, far_plane: float = 100.0,
+    eps2d: float = 0.3, sh_degree=None, backgrounds=None, **kwargs,
+):
+    """API-compatible stand-in for the reference's Inria-backend wrapper
+    (gsplat/rendering.py:rasterization_inria_wrapper:1108). The Inria
+    diff-gaussian-rasterization CUDA backend does not exist on TPU, so this
+    preserves the calling convention (eps2d fixed at 0.3, Inria's SH color
+    offset) while routing through the native rasterizer."""
+    assert eps2d == 0.3, "Inria's backend hard-codes eps2d=0.3"
+    return rasterization(
+        means, quats, scales, opacities, colors, viewmats, Ks,
+        width, height,
+        near_plane=near_plane, far_plane=far_plane, eps2d=eps2d,
+        sh_degree=sh_degree, backgrounds=backgrounds, **kwargs,
+    )
+
+
+def rasterization_2dgs_inria_wrapper(
+    means, quats, scales, opacities, colors, viewmats, Ks,
+    width: int, height: int,
+    near_plane: float = 0.01, far_plane: float = 100.0,
+    sh_degree=None, backgrounds=None, **kwargs,
+):
+    """2DGS counterpart of rasterization_inria_wrapper (reference
+    rendering.py:1630, wrapping hbb1/diff-surfel-rasterization): same
+    surfel outputs through the native path."""
+    return rasterization_2dgs(
+        means, quats, scales, opacities, colors, viewmats, Ks,
+        width, height,
+        near_plane=near_plane, far_plane=far_plane,
+        sh_degree=sh_degree, backgrounds=backgrounds, **kwargs,
+    )

@@ -8,6 +8,7 @@ already culls on. MCMC (cap_max is inherently static) is the recommended
 default on TPU.
 """
 
+from tdgs.strategy.base import Strategy
 from tdgs.strategy.mcmc import MCMCStrategy
 from tdgs.strategy.default import DefaultStrategy
 from tdgs.strategy.ops import (
@@ -17,6 +18,7 @@ from tdgs.strategy.ops import (
 )
 
 __all__ = [
+    "Strategy",
     "MCMCStrategy",
     "DefaultStrategy",
     "inject_noise_to_position",
