@@ -449,11 +449,16 @@ def rasterization_2dgs(
     isect_capacity: Optional[int] = None,
     tile_capacity: int = 512,
     max_tiles_per_gauss: int = 32,
+    rasterizer: str = "jax",
 ) -> Tuple[jnp.ndarray, ...]:
     """Rasterize 2D (surfel) Gaussians — API parity with the reference's
     ``rasterization_2dgs`` (gsplat/rendering.py:1270): returns
     (render_colors, render_alphas, render_normals [world frame],
-    render_normals_from_depth, render_distort, render_median, meta)."""
+    render_normals_from_depth, render_distort, render_median, meta).
+
+    ``rasterizer``: "jax" (differentiable, full outputs) or
+    "packed_inference" (streaming Pallas fast path; forward-only,
+    distortion/median outputs are zeros)."""
     from tdgs.ops.projection_2dgs import fully_fused_projection_2dgs
     from tdgs.ops.rasterize_2dgs_jax import rasterize_to_pixels_2dgs_jax
     from tdgs.utils.depth import depth_to_normal
@@ -509,22 +514,59 @@ def rasterization_2dgs(
 
     tile_width = math.ceil(width / float(tile_size))
     tile_height = math.ceil(height / float(tile_size))
-    if isect_capacity is None:
-        isect_capacity = default_isect_capacity(I, N)
-    isect = isect_tiles(
-        jax.lax.stop_gradient(means2d), radii, jax.lax.stop_gradient(depths),
-        tile_size, tile_width, tile_height,
-        capacity=isect_capacity, max_tiles_per_gauss=max_tiles_per_gauss,
-    )
-    isect_offsets = isect_offset_encode(isect.isect_keys, I, tile_width, tile_height)
+    if rasterizer == "packed_inference":
+        # streaming Pallas fast path (unaligned packed entries, fwd-only)
+        from tdgs.ops.rasterize_2dgs_pallas import (
+            rasterize_to_pixels_2dgs_packed_inference,
+        )
+        from tdgs.ops.tiling import isect_tiles_packed
 
-    (render_colors, render_alphas, render_normals_cam, render_distort,
-     render_median) = rasterize_to_pixels_2dgs_jax(
-        means2d, ray_transforms, colors_cn, normals, opacities_cn,
-        width, height, tile_size, isect_offsets, isect.flatten_ids,
-        isect.n_isects, backgrounds=backgrounds, tile_capacity=tile_capacity,
-        compute_distort=distloss or need_depth,
-    )
+        isect_p = isect_tiles_packed(
+            jax.lax.stop_gradient(means2d), radii,
+            jax.lax.stop_gradient(depths), tile_size, tile_width,
+            tile_height, max_tiles_per_gauss=max_tiles_per_gauss,
+        )
+        render_colors, render_alphas, render_normals_cam = (
+            rasterize_to_pixels_2dgs_packed_inference(
+                means2d, ray_transforms, colors_cn, normals, opacities_cn,
+                width, height, tile_size, isect_p.offsets,
+                isect_p.flatten_ids, backgrounds=backgrounds,
+                tile_capacity=tile_capacity,
+            )
+        )
+        render_distort = jnp.zeros_like(render_alphas)
+        render_median = jnp.zeros_like(render_alphas)
+
+        class _IsectShim:
+            tiles_per_gauss = None
+            isect_keys = isect_p.isect_keys
+            flatten_ids = isect_p.flatten_ids
+            n_isects = isect_p.n_isects
+            n_dropped = isect_p.n_dropped
+
+        isect = _IsectShim()
+        isect_offsets = jnp.zeros((I, tile_height, tile_width), jnp.int32)
+    else:
+        if isect_capacity is None:
+            isect_capacity = default_isect_capacity(I, N)
+        isect = isect_tiles(
+            jax.lax.stop_gradient(means2d), radii,
+            jax.lax.stop_gradient(depths),
+            tile_size, tile_width, tile_height,
+            capacity=isect_capacity, max_tiles_per_gauss=max_tiles_per_gauss,
+        )
+        isect_offsets = isect_offset_encode(
+            isect.isect_keys, I, tile_width, tile_height
+        )
+
+        (render_colors, render_alphas, render_normals_cam, render_distort,
+         render_median) = rasterize_to_pixels_2dgs_jax(
+            means2d, ray_transforms, colors_cn, normals, opacities_cn,
+            width, height, tile_size, isect_offsets, isect.flatten_ids,
+            isect.n_isects, backgrounds=backgrounds,
+            tile_capacity=tile_capacity,
+            compute_distort=distloss or need_depth,
+        )
 
     if render_mode in ("ED", "RGB+ED"):
         render_colors = jnp.concatenate(

@@ -130,3 +130,31 @@ def test_rasterization_2dgs_differentiable():
     for gi in g:
         assert np.isfinite(np.asarray(gi)).all()
     assert np.abs(np.asarray(g[0])).max() > 0
+
+
+def test_2dgs_packed_inference_matches_jax():
+    """The streaming Pallas 2DGS fast path must match the jnp rasterizer
+    (colors, alpha, and world-frame normals) through rasterization_2dgs."""
+    from tdgs.rendering import rasterization_2dgs
+
+    rng = np.random.default_rng(99)
+    means, quats, scales, opac, colors, viewmats, Ks, width, height = (
+        make_surfel_scene(rng, N=48, C=1)
+    )
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(Ks),
+    )
+    common = dict(
+        width=width, height=height, tile_capacity=256,
+        max_tiles_per_gauss=16, render_mode="RGB+ED",
+    )
+    out_j = rasterization_2dgs(*args, **common, rasterizer="jax")
+    out_p = rasterization_2dgs(*args, **common,
+                               rasterizer="packed_inference")
+    for k, (a, b) in enumerate(zip(out_p[:3], out_j[:3])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+            err_msg=f"output {k}",
+        )
