@@ -95,6 +95,31 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 
+    # 2DGS (surfel) fast path at the same scale — secondary metric.
+    from tdgs.rendering import rasterization_2dgs
+
+    def render_frames_2dgs(means, quats, scales, opacities, sh, viewmats, Ks):
+        def frame(carry, i):
+            out = rasterization_2dgs(
+                means, quats, scales,
+                opacities * (1.0 + 1e-5 * i.astype(jnp.float32)),
+                sh, viewmats, Ks, WIDTH, HEIGHT,
+                sh_degree=3, tile_capacity=1024, max_tiles_per_gauss=16,
+                rasterizer="packed_inference" if use_pallas else "jax",
+            )
+            return carry + out[0].mean(), None
+
+        acc, _ = jax.lax.scan(frame, jnp.zeros(()), jnp.arange(n_frames))
+        return acc
+
+    fps_2dgs = 0.0
+    if use_pallas:
+        fn2 = jax.jit(render_frames_2dgs)
+        np.asarray(fn2(*args))
+        t0 = time.perf_counter()
+        np.asarray(fn2(*args))
+        fps_2dgs = n_frames / (time.perf_counter() - t0)
+
     # physics stepping rate (the north star's second half: ≥240 Hz). A
     # 16-domino rally stepped on-device via lax.scan.
     from tdgs.physics.bodies import initial_state, make_box_body, stack_bodies
@@ -126,6 +151,7 @@ def main():
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
                 "physics_hz": round(hz, 1),
                 "physics_vs_baseline": round(hz / 240.0, 2),
+                "render_2dgs_fps": round(fps_2dgs, 2),
             }
         )
     )

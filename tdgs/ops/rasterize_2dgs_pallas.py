@@ -41,29 +41,30 @@ from tdgs.ops.rasterize_pallas_packed import (
 def _chunk_values_2dgs(buf, px, py, DA: int):
     """Per-chunk α and accumulation channels from a [F, CHUNK] block.
 
-    buf rows: 0 mx, 1 my, 2..10 M row-major, 11 op, 12..12+DA channels.
-    Returns (alpha [P, G], channels [DA, G])."""
+    buf rows: 0 mx, 1 my, 2..10 the three precomputed cross products
+    (t0 = M0×M1, tpx = M1×M2, tpy = M2×M0; see the wrapper), 11 op,
+    12..12+DA channels. Returns (alpha [P, G], channels [DA, G]).
+
+    The ray-splat intersection cross(h_u, h_v) with h_u = M2·px − M0 and
+    h_v = M2·py − M1 is bilinear in (px, py) with a vanishing px·py term
+    (M2×M2 = 0), so tmp = t0 + tpx·px + tpy·py — the per-entry cross
+    products move to the XLA side and the kernel does 2 FMAs/component."""
     mx = buf[0:1, :]
     my = buf[1:2, :]
-    m = [buf[2 + i : 3 + i, :] for i in range(9)]  # [1, G] each
+    t0 = [buf[2 + i : 3 + i, :] for i in range(3)]  # [1, G] each
+    tpx = [buf[5 + i : 6 + i, :] for i in range(3)]
+    tpy = [buf[8 + i : 9 + i, :] for i in range(3)]
     op = buf[11:12, :]
     ch = buf[12 : 12 + DA, :]
 
-    # h_u = -M[0] + M[2]·px, h_v = -M[1] + M[2]·py  (rows of M)
-    hux = m[6] * px - m[0]  # [P, G]
-    huy = m[7] * px - m[1]
-    huz = m[8] * px - m[2]
-    hvx = m[6] * py - m[3]
-    hvy = m[7] * py - m[4]
-    hvz = m[8] * py - m[5]
-    tmpx = huy * hvz - huz * hvy
-    tmpy = huz * hvx - hux * hvz
-    tmpz = hux * hvy - huy * hvx
+    tmpx = t0[0] + tpx[0] * px + tpy[0] * py  # [P, G]
+    tmpy = t0[1] + tpx[1] * px + tpy[1] * py
+    tmpz = t0[2] + tpx[2] * px + tpy[2] * py
     bad = jnp.abs(tmpz) < 1e-9
-    tz = jnp.where(bad, 1.0, tmpz)
-    us = tmpx / tz
-    vs = tmpy / tz
-    sigma3d = jnp.where(bad, 1e6, us * us + vs * vs)
+    rtz = 1.0 / jnp.where(bad, 1.0, tmpz)  # one reciprocal, no divides
+    sigma3d = jnp.where(
+        bad, 1e6, (tmpx * tmpx + tmpy * tmpy) * (rtz * rtz)
+    )
     dx = mx - px
     dy = my - py
     sigma2d = 2.0 * (dx * dx + dy * dy)
@@ -194,10 +195,15 @@ def rasterize_to_pixels_2dgs_packed_inference(
     P = tile_size * tile_size
 
     F_pad = -(-(12 + DA) // 8) * 8
+    # precompute the bilinear-expansion cross products (see kernel docstring)
+    M_f = ray_transforms.reshape(I * N, 3, 3)
+    t0 = jnp.cross(M_f[:, 0], M_f[:, 1])
+    tpx = jnp.cross(M_f[:, 1], M_f[:, 2])
+    tpy = jnp.cross(M_f[:, 2], M_f[:, 0])
     feats = jnp.concatenate(
         [
             means2d.reshape(I * N, 2),
-            ray_transforms.reshape(I * N, 9),
+            t0, tpx, tpy,
             opacities.reshape(I * N, 1),
             colors.reshape(I * N, D),
             normals.reshape(I * N, 3),
