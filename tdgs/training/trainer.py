@@ -288,6 +288,9 @@ class Runner:
         if cfg.model_type == "2dgs" and override_features is None:
             from tdgs.rendering import rasterization_2dgs
 
+            # this method serves eval/render only for 2DGS (the train step
+            # calls rasterization_2dgs directly) — use the Pallas fast path
+            # on TPU, the differentiable jnp path elsewhere
             out = rasterization_2dgs(
                 means, quats, scales, opacities, colors, viewmats, Ks,
                 width, height, sh_degree=sh_deg,
@@ -296,6 +299,10 @@ class Runner:
                 tile_capacity=cfg.tile_capacity,
                 isect_capacity=cfg.isect_capacity,
                 max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                rasterizer=(
+                    "packed_inference"
+                    if jax.default_backend() == "tpu" else "jax"
+                ),
             )
             return out[0], out[1], out[6]
         return rasterization(
