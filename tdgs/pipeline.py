@@ -104,7 +104,11 @@ def render_splats(
     """Render raw-parameter splats with standard activations
     (reference Runner.rasterize_splats used by main.py:328-344)."""
     if rasterizer == "auto":
-        rasterizer = "packed" if jax.default_backend() == "tpu" else "jax"
+        # render-only path: the forward-only kernel skips the realignment
+        # pass (~25% faster per frame than "packed")
+        rasterizer = (
+            "packed_inference" if jax.default_backend() == "tpu" else "jax"
+        )
     sh = jnp.concatenate([splats["sh0"], splats["shN"]], axis=-2)
     img, alpha, _ = rasterization(
         splats["means"],

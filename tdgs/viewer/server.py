@@ -211,7 +211,10 @@ def make_splat_render_fn(splats, rasterizer: str = "auto"):
             near_plane=st.near_plane, far_plane=st.far_plane,
             radius_clip=st.radius_clip, eps2d=st.eps2d,
             render_mode=mode,
-            rasterizer=("packed" if jax.default_backend() == "tpu" else "jax")
+            rasterizer=(
+                "packed_inference" if jax.default_backend() == "tpu"
+                else "jax"
+            )
             if rasterizer == "auto" else rasterizer,
             backgrounds=jnp.asarray(np.array(st.backgrounds, np.float32))[None],
         )
