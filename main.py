@@ -133,7 +133,9 @@ def main():
 
     viewmat, K = default_camera(means, args.width, args.height)
     sh = jnp.concatenate([splats["sh0"], splats["shN"]], axis=-2)
-    rasterizer = "packed" if jax.default_backend() == "tpu" else "jax"
+    rasterizer = (
+        "packed_inference" if jax.default_backend() == "tpu" else "jax"
+    )
 
     def render_fn(m, q):
         img, alpha, _ = rasterization(
