@@ -30,8 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
             continue
         arg = "--" + f.name.replace("_", "-")
         if f.type == "bool" or isinstance(f.default, bool):
-            ap.add_argument(arg, action="store_true" if not f.default
-                            else "store_false", dest=f.name)
+            # --flag / --no-flag; None = keep the Config default
+            ap.add_argument(arg, action=argparse.BooleanOptionalAction,
+                            default=None, dest=f.name)
         elif isinstance(f.default, (int, float, str)) or f.default is None:
             if f.default is not None:
                 t = type(f.default)

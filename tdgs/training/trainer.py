@@ -533,30 +533,24 @@ class Runner:
                 aux_opt_state, loss, aux)
 
     # ------------------------------------------------------------------
-    def _make_batch(self, indices) -> Dict[str, jnp.ndarray]:
-        items = [self.trainset[int(i)] for i in indices]
-        batch = {
-            "image": jnp.asarray(np.stack([it["image"] for it in items])),
-            "viewmat": jnp.asarray(np.stack([it["viewmat"] for it in items])[:, None]),
-            "K": jnp.asarray(np.stack([it["K"] for it in items])[:, None]),
+    @staticmethod
+    def _depth_fields(items) -> Dict[str, jnp.ndarray]:
+        """Pad per-image sparse depth points to a common length."""
+        m = max(len(it.get("points", [])) for it in items) or 1
+        pts = np.zeros((len(items), m, 2), np.float32)
+        dep = np.zeros((len(items), m), np.float32)
+        val = np.zeros((len(items), m), np.float32)
+        for i, it in enumerate(items):
+            k = len(it.get("points", []))
+            if k:
+                pts[i, :k] = it["points"]
+                dep[i, :k] = it["depths"]
+                val[i, :k] = 1.0
+        return {
+            "points": jnp.asarray(pts),
+            "depths": jnp.asarray(dep),
+            "points_valid": jnp.asarray(val),
         }
-        # per-image single camera: fold camera dim C=1
-        batch["viewmat"] = batch["viewmat"][:, 0][None] if False else batch["viewmat"]
-        if self.cfg.depth_loss:
-            m = max(len(it.get("points", [])) for it in items) or 1
-            pts = np.zeros((len(items), m, 2), np.float32)
-            dep = np.zeros((len(items), m), np.float32)
-            val = np.zeros((len(items), m), np.float32)
-            for i, it in enumerate(items):
-                k = len(it.get("points", []))
-                if k:
-                    pts[i, :k] = it["points"]
-                    dep[i, :k] = it["depths"]
-                    val[i, :k] = 1.0
-            batch["points"] = jnp.asarray(pts)
-            batch["depths"] = jnp.asarray(dep)
-            batch["points_valid"] = jnp.asarray(val)
-        return batch
 
     # ------------------------------------------------------------------
     def train(self) -> Dict[str, Any]:
@@ -589,8 +583,7 @@ class Runner:
                 ),
             }
             if cfg.depth_loss:
-                b2 = self._make_batch(idx)
-                batch.update({k: b2[k] for k in ("points", "depths", "points_valid")})
+                batch.update(self._depth_fields(items))
 
             # segmentation loss cadence (reference simple_trainer.py:945-975)
             use_seg = (
