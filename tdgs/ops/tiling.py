@@ -159,6 +159,8 @@ def isect_tiles_packed(
     tile_width: int,
     tile_height: int,
     max_tiles_per_gauss: int = 16,
+    capacity: Optional[int] = None,
+    sort_stable: bool = False,
 ) -> IsectPacked:
     """Fast-path tile intersection: one packed int32 key, no scatter.
 
@@ -170,7 +172,14 @@ def isect_tiles_packed(
       ``(image*n_tiles + tile) << depth_bits | qdepth`` so the sort has one
       key operand (the reference packs exact float bits into 64-bit keys;
       compositing only needs depth *order*, and ties are benign),
-    - per-tile offsets come back from searchsorted on the packed keys.
+    - the sort is unstable by default (the network is still deterministic;
+      ties need the same tile AND the same of ~2^18 depth buckets, and
+      either order is a valid compositing order) — stable costs +40%,
+    - per-tile offsets come from a two-level sampled searchsorted,
+    - ``capacity`` statically truncates the *sorted* buffers (a free slice:
+      sentinels sort to the end), so downstream feature gathers touch
+      ``capacity`` entries instead of N·K. Real intersections beyond it are
+      dropped from the highest tile ids and counted in ``n_dropped``.
     """
     image_dims = means2d.shape[:-2]
     N = means2d.shape[-2]
@@ -234,10 +243,19 @@ def isect_tiles_packed(
     )
 
     keys_s, fids_s = jax.lax.sort(
-        (keys.reshape(-1), fids.reshape(-1)), num_keys=1, is_stable=True
+        (keys.reshape(-1), fids.reshape(-1)), num_keys=1, is_stable=sort_stable
     )
     n_isects = jnp.sum(tiles_capped).astype(jnp.int32)
     n_dropped = jnp.sum(tiles_full - tiles_capped).astype(jnp.int32)
+
+    if capacity is not None and capacity < keys_s.shape[0]:
+        # Static truncation of the sorted buffers: sentinel (invalid) slots
+        # are at the end, so this only drops real entries on overflow.
+        capacity = -(-capacity // 128) * 128  # chunk-align for the kernels
+        keys_s = keys_s[:capacity]
+        fids_s = fids_s[:capacity]
+        n_dropped = n_dropped + jnp.maximum(n_isects - capacity, 0)
+        n_isects = jnp.minimum(n_isects, capacity)
 
     # boundaries computed host-side in int64 (x64 is disabled on device)
     import numpy as _np
@@ -248,6 +266,9 @@ def isect_tiles_packed(
             int(INT32_SENTINEL),
         ).astype(_np.int32)
     )
+    # NB: a two-level sampled searchsorted measures faster standalone but
+    # is ~9x slower when fused into this program (strided-slice + 2-D window
+    # gather lower badly on TPU); the direct binary search fuses to ~1 ms.
     offsets = jnp.searchsorted(keys_s, boundaries, side="left").astype(jnp.int32)
 
     return IsectPacked(

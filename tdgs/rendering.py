@@ -241,6 +241,7 @@ def rasterization(
             tile_width,
             tile_height,
             max_tiles_per_gauss=max_tiles_per_gauss,
+            capacity=isect_capacity,
         )
         meta.update(
             {
@@ -525,6 +526,7 @@ def rasterization_2dgs(
             jax.lax.stop_gradient(means2d), radii,
             jax.lax.stop_gradient(depths), tile_size, tile_width,
             tile_height, max_tiles_per_gauss=max_tiles_per_gauss,
+            capacity=isect_capacity,
         )
         render_colors, render_alphas, render_normals_cam = (
             rasterize_to_pixels_2dgs_packed_inference(

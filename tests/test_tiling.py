@@ -110,3 +110,47 @@ def test_max_tiles_per_gauss_clamp():
     assert int(res.tiles_per_gauss[0, 0]) == 64  # true count
     assert int(res.n_isects) == 16  # capped
     assert int(res.n_dropped) == 48
+
+
+def test_isect_tiles_packed_capacity_truncation():
+    rng = np.random.default_rng(3)
+    n = 64
+    tw = th = 8
+    tile_size = 16
+    means2d = rng.uniform(0, 128, size=(1, n, 2)).astype(np.float32)
+    radii = rng.integers(8, 40, size=(1, n, 2)).astype(np.int32)
+    depths = rng.uniform(1, 10, size=(1, n)).astype(np.float32)
+
+    full = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, max_tiles_per_gauss=16,
+    )
+    n_real = int(full.n_isects)
+    assert n_real > 256
+
+    cap = 256  # multiple of 128, below n_real → must truncate + count drops
+    trunc = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, max_tiles_per_gauss=16, capacity=cap,
+    )
+    assert trunc.isect_keys.shape == (cap,)
+    assert int(trunc.n_isects) == cap
+    assert int(trunc.n_dropped) == int(full.n_dropped) + (n_real - cap)
+    # the kept entries are exactly the first `cap` of the full sort
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(trunc.isect_keys)),
+        np.sort(np.asarray(full.isect_keys[:cap])),
+    )
+    # offsets stay within the truncated buffer and consistent with keys
+    offs = np.asarray(trunc.offsets)
+    assert offs[-1] <= cap
+    assert (np.diff(offs) >= 0).all()
+
+    # a capacity above n_isects changes nothing but the buffer length
+    roomy = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, max_tiles_per_gauss=16,
+        capacity=-(-n_real // 128) * 128 + 128,
+    )
+    assert int(roomy.n_dropped) == int(full.n_dropped)
+    np.testing.assert_array_equal(np.asarray(roomy.offsets), np.asarray(full.offsets))
