@@ -130,6 +130,56 @@ def main():
         np.asarray(fn2(*args))
         fps_2dgs = n_frames / (time.perf_counter() - t0)
 
+    # Training-path fps: full forward+backward through the differentiable
+    # packed rasterizers (grad w.r.t. all splat params), per frame.
+    def make_train_bench(model):
+        def step(means, quats, scales, opacities, sh, viewmats, Ks, i):
+            def loss_fn(means, quats, scales, opacities, sh):
+                op = opacities * (1.0 + 1e-5 * i.astype(jnp.float32))
+                if model == "3dgs":
+                    img, alpha, _ = rasterization(
+                        means, quats, scales, op, sh, viewmats, Ks,
+                        WIDTH, HEIGHT, sh_degree=3, rasterizer="packed",
+                        tile_capacity=1024, max_tiles_per_gauss=16,
+                        isect_capacity=1_310_720,
+                    )
+                    return img.mean() + alpha.mean()
+                out = rasterization_2dgs(
+                    means, quats, scales, op, sh, viewmats, Ks,
+                    WIDTH, HEIGHT, sh_degree=3, render_mode="RGB+ED",
+                    distloss=True, rasterizer="packed",
+                    tile_capacity=1024, max_tiles_per_gauss=16,
+                    isect_capacity=1_310_720,
+                )
+                return out[0].mean() + out[4].mean()
+
+            loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+                means, quats, scales, opacities, sh
+            )
+            return loss + sum(jnp.sum(g[:1]) for g in grads)
+
+        def frames(means, quats, scales, opacities, sh, viewmats, Ks):
+            def body(c, i):
+                return c + step(means, quats, scales, opacities, sh,
+                                viewmats, Ks, i), None
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n_frames))
+            return acc
+
+        return jax.jit(frames)
+
+    fps_train = fps_2dgs_train = 0.0
+    if use_pallas:
+        for model, store in (("3dgs", "t"), ("2dgs", "t2")):
+            fnt = make_train_bench(model)
+            np.asarray(fnt(*args))
+            t0 = time.perf_counter()
+            np.asarray(fnt(*args))
+            val = n_frames / (time.perf_counter() - t0)
+            if model == "3dgs":
+                fps_train = val
+            else:
+                fps_2dgs_train = val
+
     # physics stepping rate (the north star's second half: ≥240 Hz). A
     # 16-domino rally stepped on-device via lax.scan.
     from tdgs.physics.bodies import initial_state, make_box_body, stack_bodies
@@ -162,6 +212,8 @@ def main():
                 "physics_hz": round(hz, 1),
                 "physics_vs_baseline": round(hz / 240.0, 2),
                 "render_2dgs_fps": round(fps_2dgs, 2),
+                "render_train_fps": round(fps_train, 2),
+                "render_2dgs_train_fps": round(fps_2dgs_train, 2),
             }
         )
     )

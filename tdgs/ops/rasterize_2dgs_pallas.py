@@ -276,3 +276,603 @@ def rasterize_to_pixels_2dgs_packed_inference(
         alp.reshape(shp + (1,)),
         normals_img.reshape(shp + (3,)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable training path: aligned entry ranges, custom-VJP Pallas pair
+# (TPU counterpart of RasterizeToPixels2DGSFwd.cu + Bwd.cu:861; gradient set
+# means2d, ray_transforms (via the t0/tpx/tpy cross products), colors,
+# opacities, normals, plus the distortion loss's depth/weight gradients)
+# ---------------------------------------------------------------------------
+
+
+def _tri_strict_upper(g: int) -> jnp.ndarray:
+    """M[j, k] = 1 iff j < k: x @ M is an EXCLUSIVE cumsum along lanes."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (g, g), 1)
+    return (row < col).astype(jnp.float32)
+
+
+def _chunk_values_2dgs_full(buf, px, py, DA: int):
+    """_chunk_values_2dgs plus the intermediates the backward pass needs."""
+    mx = buf[0:1, :]
+    my = buf[1:2, :]
+    t0 = [buf[2 + i : 3 + i, :] for i in range(3)]
+    tpx = [buf[5 + i : 6 + i, :] for i in range(3)]
+    tpy = [buf[8 + i : 9 + i, :] for i in range(3)]
+    op = buf[11:12, :]
+    ch = buf[12 : 12 + DA, :]
+
+    tmpx = t0[0] + tpx[0] * px + tpy[0] * py
+    tmpy = t0[1] + tpx[1] * px + tpy[1] * py
+    tmpz = t0[2] + tpx[2] * px + tpy[2] * py
+    bad = jnp.abs(tmpz) < 1e-9
+    rtz = 1.0 / jnp.where(bad, 1.0, tmpz)
+    sigma3d = jnp.where(bad, 1e6, (tmpx * tmpx + tmpy * tmpy) * (rtz * rtz))
+    dx = mx - px
+    dy = my - py
+    sigma2d = 2.0 * (dx * dx + dy * dy)
+    sigma = 0.5 * jnp.minimum(sigma3d, sigma2d)
+    vis = jnp.exp(-sigma)
+    alpha = jnp.minimum(ALPHA_CLAMP, op * vis)
+    alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
+    use3d = (sigma3d <= sigma2d) & ~bad
+    return alpha, ch, (tmpx, tmpy, rtz, sigma3d, dx, dy, use3d, vis, op)
+
+
+def _fwd_kernel_2dgs(
+    offs_ref, packed_ref, color_out_ref, trans_out_ref, dist_out_ref,
+    med_out_ref, buf, sems, acc_ref, lograw_ref, logeff_ref, aprev_ref,
+    bprev_ref, dist_ref, med_ref, *,
+    tile_size: int, tile_width: int, tiles_per_image: int,
+    max_chunks: int, DA: int, depth_row: int, compute_distort: bool,
+):
+    """Aligned-range 2DGS forward: compositing + distortion + median depth.
+
+    Distortion (Mip-NeRF 360, Fwd.cu:389-399): 2·Σ_i w_i (d_i·A_i − B_i)
+    with A/B the exclusive prefix sums of w and w·d — exclusive prefixes run
+    as strictly-triangular MXU matmuls with [P,1] carries across chunks.
+    Median depth: depth of the last entry with raw transmittance > 0.5.
+    ``depth_row < 0`` disables both (no depth channel present).
+    """
+    t = pl.program_id(0)
+    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
+    tri = _tri_upper_incl(CHUNK)
+    tri_x = _tri_strict_upper(CHUNK)
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_size * tile_size, CHUNK), 1
+    )
+
+    start = pl.multiple_of(offs_ref[t], CHUNK)
+    end = pl.multiple_of(offs_ref[t + 1], CHUNK)
+    count = jnp.minimum(end - start, max_chunks * CHUNK)
+    n_chunks = count // CHUNK
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
+    logeff_ref[:, :] = jnp.zeros_like(logeff_ref)
+    aprev_ref[:, :] = jnp.zeros_like(aprev_ref)
+    bprev_ref[:, :] = jnp.zeros_like(bprev_ref)
+    dist_ref[:, :] = jnp.zeros_like(dist_ref)
+    med_ref[:, :] = jnp.zeros_like(med_ref)
+
+    def dma(j, slot):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(j, _):
+        slot = j % 2
+        not_done = jnp.max(lograw_ref[:, 0:1]) > jnp.log(TRANSMITTANCE_EPS)
+
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            dma(j + 1, (j + 1) % 2).start()
+
+        dma(j, slot).wait()
+
+        @pl.when(not_done)
+        def _():
+            alpha, ch = _chunk_values_2dgs(buf[slot], px, py, DA)
+            logs = jnp.log1p(-alpha)
+            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+            logP = S + lograw_ref[:, 0:1]
+            included = logP > jnp.log(TRANSMITTANCE_EPS)
+            P_prev = jnp.exp(logP - logs)
+            w = jnp.where(included, alpha * P_prev, 0.0)
+            acc_ref[:, :] += jax.lax.dot_general(
+                ch, w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if depth_row >= 0:
+                d = ch[depth_row : depth_row + 1, :]  # [1, G]
+                wd = w * d
+                if compute_distort:
+                    Ax = (
+                        jnp.dot(w, tri_x, preferred_element_type=jnp.float32)
+                        + aprev_ref[:, 0:1]
+                    )
+                    Bx = (
+                        jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
+                        + bprev_ref[:, 0:1]
+                    )
+                    dist_ref[:, :] += jnp.sum(
+                        2.0 * w * (d * Ax - Bx), axis=1, keepdims=True
+                    )
+                    aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
+                    bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
+                # median: last entry with raw pre-transmittance > 0.5
+                m = (P_prev > 0.5) & (w > 0.0)
+                idx = jnp.max(
+                    jnp.where(m, lanes, -1), axis=1, keepdims=True
+                )  # [P, 1]
+                dmed = jnp.sum(
+                    jnp.where(lanes == idx, d, 0.0), axis=1, keepdims=True
+                )
+                med_ref[:, :] = jnp.where(idx >= 0, dmed, med_ref[:, :])
+            lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+            logeff_ref[:, :] += jnp.sum(
+                jnp.where(included, logs, 0.0), axis=1, keepdims=True
+            )
+
+        return ()
+
+    jax.lax.fori_loop(0, n_chunks, body, ())
+
+    color_out_ref[:, :] = acc_ref[:, :]
+    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
+    dist_out_ref[:, :] = dist_ref[:, :]
+    med_out_ref[:, :] = med_ref[:, :]
+
+
+def _bwd_kernel_2dgs(
+    offs_ref, packed_ref, tfinal_ref, totq_ref, btot_ref, vch_ref, valp_ref,
+    vdist_ref, vpacked_ref, buf, obuf, sems, osems, lograw_ref, prefq_ref,
+    aprev_ref, bprev_ref, *,
+    tile_size: int, tile_width: int, tiles_per_image: int,
+    max_chunks: int, DA: int, depth_row: int, compute_distort: bool,
+):
+    """2DGS backward on the streaming skeleton of the 3DGS _bwd_kernel.
+
+    The compositing chain (r → q → suffix → v_alpha) is identical to 3DGS
+    with r extended by the distortion loss's total dL/dw (see
+    rasterize_2dgs_jax for the forward definition):
+        r_dist = 2(d·Aˣ − Bˣ) + 2((B_tot − Bⁱ) − d(A_tot − Aⁱ)),
+    where A_tot = Σw = alpha_img and B_tot = Σw·d = the rendered depth
+    channel, both forward outputs. The matching totq correction
+    (Σ w·r_dist = 2·distort) is applied on the XLA side. v_sigma then splits
+    between the 3D (ray-transform) and 2D (means2d low-pass) branches.
+    """
+    t = pl.program_id(0)
+    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
+    tri = _tri_upper_incl(CHUNK)
+    tri_x = _tri_strict_upper(CHUNK)
+
+    start = pl.multiple_of(offs_ref[t], CHUNK)
+    end = pl.multiple_of(offs_ref[t + 1], CHUNK)
+    count = jnp.minimum(end - start, max_chunks * CHUNK)
+    n_chunks = count // CHUNK
+
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
+    prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
+    aprev_ref[:, :] = jnp.zeros_like(aprev_ref)
+    bprev_ref[:, :] = jnp.zeros_like(bprev_ref)
+    va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]
+    a_tot = 1.0 - tfinal_ref[:, 0:1]  # Σ w (raw-cutoff compositing)
+
+    def dma_in(j, slot):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
+            buf.at[slot],
+            sems.at[slot],
+        )
+
+    def dma_out(j, slot):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            vpacked_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
+            osems.at[slot],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        dma_in(0, 0).start()
+
+    def body(j, _):
+        slot = j % 2
+
+        @pl.when(j + 1 < n_chunks)
+        def _():
+            dma_in(j + 1, (j + 1) % 2).start()
+
+        dma_in(j, slot).wait()
+
+        @pl.when(j >= 2)
+        def _():
+            dma_out(j - 2, slot).wait()
+
+        alpha, ch, (tmpx, tmpy, rtz, sigma3d, dx, dy, use3d, vis, op) = (
+            _chunk_values_2dgs_full(buf[slot], px, py, DA)
+        )
+        one_minus = 1.0 - alpha
+        logs = jnp.log1p(-alpha)
+        S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        logP = S + lograw_ref[:, 0:1]
+        included = logP > jnp.log(TRANSMITTANCE_EPS)
+        P_prev = jnp.exp(logP - logs)
+        w = jnp.where(included, alpha * P_prev, 0.0)
+
+        # r[p, g] = Σ_d v_ch[d, p] · ch[d, g]
+        r = jax.lax.dot_general(
+            vch_ref[:, :], ch,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [P, G]
+        g_d_extra = None
+        if compute_distort and depth_row >= 0:
+            d = ch[depth_row : depth_row + 1, :]
+            wd = w * d
+            Ax = (
+                jnp.dot(w, tri_x, preferred_element_type=jnp.float32)
+                + aprev_ref[:, 0:1]
+            )
+            Bx = (
+                jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
+                + bprev_ref[:, 0:1]
+            )
+            vd = vdist_ref[:, 0:1]
+            r_dist = 2.0 * (d * Ax - Bx) + 2.0 * (
+                (btot_ref[:, 0:1] - Bx - wd) - d * (a_tot - Ax - w)
+            )
+            r = r + vd * r_dist
+            # dL/dd_k = v_dist · 2 w (Aˣ − (A_tot − Aⁱ)), Aⁱ = Aˣ + w
+            g_d_extra = vd * (2.0 * w * (2.0 * Ax + w - a_tot))  # [P, G]
+            aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
+            bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
+
+        q = w * r
+        pref_incl = (
+            jnp.dot(q, tri, preferred_element_type=jnp.float32)
+            + prefq_ref[:, 0:1]
+        )
+        suffix = totq_ref[:, 0:1] - pref_incl
+        ra = 1.0 / one_minus
+        v_alpha = r * P_prev - suffix * ra + va_tfin * ra
+        live = included & (alpha > 0.0)
+        v_alpha = jnp.where(live, v_alpha, 0.0)
+
+        unclamped = (op * vis) <= ALPHA_CLAMP
+        v_sigma = jnp.where(unclamped, -op * vis * v_alpha, 0.0)
+        v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
+
+        v_s3 = jnp.where(use3d, v_sigma, 0.0)
+        v_s2 = jnp.where(use3d, 0.0, v_sigma)
+
+        # 3D branch: sigma = ½(tmpx² + tmpy²)·rtz² → tmp gradients, then
+        # tmp_c = t0_c + tpx_c·px + tpy_c·py distributes to the three rows
+        rtz2 = rtz * rtz
+        v_tmpx = v_s3 * tmpx * rtz2
+        v_tmpy = v_s3 * tmpy * rtz2
+        v_tmpz = -v_s3 * sigma3d * rtz
+        rows = []
+        # g_mx, g_my (2D low-pass branch: sigma = dx² + dy², dx = mx − px)
+        rows.append(jnp.sum(v_s2 * 2.0 * dx, axis=0, keepdims=True))
+        rows.append(jnp.sum(v_s2 * 2.0 * dy, axis=0, keepdims=True))
+        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_t0
+            rows.append(jnp.sum(v_t, axis=0, keepdims=True))
+        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_tpx
+            rows.append(jnp.sum(v_t * px, axis=0, keepdims=True))
+        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_tpy
+            rows.append(jnp.sum(v_t * py, axis=0, keepdims=True))
+        rows.append(jnp.sum(v_op, axis=0, keepdims=True))  # g_op
+        g_ch = jnp.dot(
+            vch_ref[:, :], w, preferred_element_type=jnp.float32
+        )  # [DA, G]
+        if g_d_extra is not None:
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (DA, 1), 0) == depth_row
+            ).astype(jnp.float32)
+            g_ch = g_ch + onehot * jnp.sum(g_d_extra, axis=0, keepdims=True)
+        out = jnp.concatenate(rows + [g_ch], axis=0)  # [12 + DA, G]
+        pad_rows = obuf.shape[1] - out.shape[0]
+        if pad_rows:
+            out = jnp.concatenate(
+                [out, jnp.zeros((pad_rows, out.shape[1]), out.dtype)], axis=0
+            )
+        obuf[slot] = out
+        dma_out(j, slot).start()
+
+        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
+        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+        return ()
+
+    jax.lax.fori_loop(0, n_chunks, body, ())
+
+    @pl.when(n_chunks >= 2)
+    def _():
+        dma_out(n_chunks - 2, (n_chunks - 2) % 2).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        dma_out(n_chunks - 1, (n_chunks - 1) % 2).wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _raster_2dgs_core(
+    packed,  # [F_pad, capacity] f32
+    offsets,  # [T+1] int32 chunk-aligned
+    tile_size: int,
+    tile_width: int,
+    tiles_per_image: int,
+    n_total_tiles: int,
+    max_chunks: int,
+    da: int,
+    depth_row: int,
+    compute_distort: bool,
+):
+    out, _ = _raster_2dgs_fwd(
+        packed, offsets, tile_size, tile_width, tiles_per_image,
+        n_total_tiles, max_chunks, da, depth_row, compute_distort,
+    )
+    return out
+
+
+def _raster_2dgs_fwd(
+    packed, offsets, tile_size, tile_width, tiles_per_image, n_total_tiles,
+    max_chunks, da, depth_row, compute_distort,
+):
+    F, capacity = packed.shape
+    DA = da
+    P = tile_size * tile_size
+    assert capacity % CHUNK == 0
+
+    kern = functools.partial(
+        _fwd_kernel_2dgs,
+        tile_size=tile_size,
+        tile_width=tile_width,
+        tiles_per_image=tiles_per_image,
+        max_chunks=max_chunks,
+        DA=DA,
+        depth_row=depth_row,
+        compute_distort=compute_distort,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((DA, P), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    acc_out, trans_out, dist_out, med_out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_total_tiles, DA, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed)
+    out = (acc_out, trans_out, dist_out, med_out)
+    return out, (packed, offsets, acc_out, trans_out, dist_out)
+
+
+def _raster_2dgs_bwd(
+    tile_size, tile_width, tiles_per_image, n_total_tiles, max_chunks, da,
+    depth_row, compute_distort, residuals, grads,
+):
+    packed, offsets, acc_out, trans_out, dist_out = residuals
+    v_acc, v_trans, v_dist, _v_med = grads  # median is non-differentiable
+    F, capacity = packed.shape
+    DA = da
+    P = tile_size * tile_size
+
+    v_alpha_img = -v_trans  # [T, P, 1]
+    tot_q = jnp.sum(v_acc * acc_out, axis=1, keepdims=True).swapaxes(1, 2)
+    if compute_distort and depth_row >= 0:
+        # Σ w·r_dist over a pixel = 2·distort (see kernel docstring)
+        tot_q = tot_q + 2.0 * v_dist * dist_out
+        btot = acc_out[:, depth_row : depth_row + 1, :].swapaxes(1, 2)
+    else:
+        v_dist = jnp.zeros_like(v_trans)
+        btot = jnp.zeros_like(v_trans)
+
+    kern = functools.partial(
+        _bwd_kernel_2dgs,
+        tile_size=tile_size,
+        tile_width=tile_width,
+        tiles_per_image=tiles_per_image,
+        max_chunks=max_chunks,
+        DA=DA,
+        depth_row=depth_row,
+        compute_distort=compute_distort,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # tfinal
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # tot_q
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # btot
+            pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_acc
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_alpha_img
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_dist
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((2, F, CHUNK), jnp.float32),
+            pltpu.VMEM((2, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    (v_packed,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((F, capacity), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed, trans_out, tot_q, btot, v_acc, v_alpha_img, v_dist)
+    # mask entries the kernel never wrote (same rule as the 3DGS bwd)
+    from tdgs.ops.rasterize_pallas_packed import _processed_mask
+
+    v_packed = jnp.where(
+        _processed_mask(offsets, capacity, max_chunks)[None, :], v_packed, 0.0
+    )
+    return v_packed, None
+
+
+_raster_2dgs_core.defvjp(_raster_2dgs_fwd, _raster_2dgs_bwd)
+
+
+def rasterize_to_pixels_2dgs_packed(
+    means2d: jnp.ndarray,  # [..., N, 2]
+    ray_transforms: jnp.ndarray,  # [..., N, 3, 3]
+    colors: jnp.ndarray,  # [..., N, D] (last channel depth when present)
+    normals: jnp.ndarray,  # [..., N, 3]
+    opacities: jnp.ndarray,  # [..., N]
+    image_width: int,
+    image_height: int,
+    tile_size: int,
+    offsets: jnp.ndarray,  # [T+1] int32 (from isect_tiles_packed)
+    flatten_ids: jnp.ndarray,  # [capacity]
+    backgrounds: Optional[jnp.ndarray] = None,
+    tile_capacity: int = 1024,
+    has_depth: bool = False,
+    compute_distort: bool = False,
+) -> Tuple[jnp.ndarray, ...]:
+    """Differentiable packed-stream 2DGS rasterization (training fast path).
+
+    Returns (render_colors [..., H, W, D], render_alphas [..., H, W, 1],
+    render_normals_cam [..., H, W, 3], render_distort [..., H, W, 1],
+    render_median [..., H, W, 1]) — the contract of
+    rasterize_to_pixels_2dgs_jax. Median depth is a non-differentiable
+    output. Gradients flow to means2d, ray_transforms, colors, normals,
+    opacities (reference RasterizeToPixels2DGSBwd.cu:861's gradient set).
+    """
+    image_dims = means2d.shape[:-2]
+    N = means2d.shape[-2]
+    D = colors.shape[-1]
+    DA = D + 3
+    depth_row = (D - 1) if has_depth else -1
+    I = math.prod(image_dims) if image_dims else 1
+    tile_width = math.ceil(image_width / tile_size)
+    tile_height = math.ceil(image_height / tile_size)
+    T_total = I * tile_width * tile_height
+
+    F_pad = -(-(12 + DA) // 8) * 8
+    M_f = ray_transforms.reshape(I * N, 3, 3)
+    t0 = jnp.cross(M_f[:, 0], M_f[:, 1])
+    tpx = jnp.cross(M_f[:, 1], M_f[:, 2])
+    tpy = jnp.cross(M_f[:, 2], M_f[:, 0])
+    feats = jnp.concatenate(
+        [
+            means2d.reshape(I * N, 2),
+            t0, tpx, tpy,
+            opacities.reshape(I * N, 1),
+            colors.reshape(I * N, D),
+            normals.reshape(I * N, 3),
+            jnp.zeros((I * N, F_pad - 12 - DA), means2d.dtype),
+        ],
+        axis=-1,
+    )
+    from tdgs.ops.tiling import align_isect_ranges, scatter_align_entries
+
+    capacity = flatten_ids.shape[0]
+    pad = (-capacity) % CHUNK
+    if pad:
+        flatten_ids = jnp.pad(flatten_ids, (0, pad))
+        capacity += pad
+    unaligned_offsets = offsets
+    offsets, chunk_starts, entry_valid = align_isect_ranges(
+        offsets, capacity, chunk=CHUNK, tile_capacity=tile_capacity
+    )
+    aligned_capacity = entry_valid.shape[0]
+    ids = scatter_align_entries(
+        flatten_ids, unaligned_offsets, offsets, aligned_capacity, fill=0
+    )
+    ids = jnp.where(entry_valid, ids, 0)
+    feats = jax.lax.optimization_barrier(feats)
+    rows = feats[ids]  # flat row gather; VJP = deterministic segment-sum
+    packed = jax.lax.optimization_barrier(rows).T
+    # zero padding slots' opacity AFTER the transpose (single-row update)
+    packed = packed.at[11:12, :].multiply(
+        entry_valid[None, :].astype(packed.dtype)
+    )
+    capacity = packed.shape[1]
+
+    acc_out, trans_out, dist_out, med_out = _raster_2dgs_core(
+        packed, offsets, tile_size, tile_width, tile_width * tile_height,
+        T_total, max(tile_capacity // CHUNK, 1), DA, depth_row,
+        compute_distort and has_depth,
+    )
+
+    pad_h, pad_w = tile_height * tile_size, tile_width * tile_size
+
+    def untile(x, ch):
+        img = x.reshape(I, tile_height, tile_width, ch, tile_size, tile_size)
+        img = img.transpose(0, 1, 4, 2, 5, 3).reshape(I, pad_h, pad_w, ch)
+        return img[:, :image_height, :image_width]
+
+    img_all = untile(acc_out, DA)
+    alp = 1.0 - untile(trans_out.swapaxes(1, 2), 1)[..., 0]
+    dst = untile(dist_out.swapaxes(1, 2), 1)
+    med = untile(med_out.swapaxes(1, 2), 1)
+
+    colors_img = img_all[..., :D]
+    normals_img = img_all[..., D:]
+    if backgrounds is not None:
+        colors_img = colors_img + (1.0 - alp[..., None]) * backgrounds.reshape(
+            I, 1, 1, D
+        )
+    shp = image_dims + (image_height, image_width)
+    return (
+        colors_img.reshape(shp + (D,)),
+        alp.reshape(shp + (1,)),
+        normals_img.reshape(shp + (3,)),
+        dst.reshape(shp + (1,)),
+        med.reshape(shp + (1,)),
+    )

@@ -52,6 +52,21 @@ def _tri_upper_incl(g: int) -> jnp.ndarray:
     return (row <= col).astype(jnp.float32)
 
 
+def _pixel_moment_basis(tile_size: int) -> jnp.ndarray:
+    """[8, P] rows (1, pxl, pyl, pxl², pxl·pyl, pyl², 0, 0) in TILE-LOCAL
+    pixel-center coordinates — the LHS of the backward kernels' moment
+    matmul (padded to 8 sublanes)."""
+    P = tile_size * tile_size
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    pxl = (p % tile_size).astype(jnp.float32) + 0.5
+    pyl = (p // tile_size).astype(jnp.float32) + 0.5
+    one = jnp.ones_like(pxl)
+    zero = jnp.zeros_like(pxl)
+    return jnp.concatenate(
+        [one, pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl, zero, zero], axis=0
+    )
+
+
 def _pixel_coords(tile_size: int, tile_width: int, tiles_per_image: int, t):
     """Pixel centers of tile t as [P, 1] columns (P on sublanes)."""
     ts = tile_size
@@ -240,6 +255,8 @@ def _bwd_kernel(
         alpha, vis, dx, dy, (ca, cb, cc, op), colors = _chunk_values(
             buf[slot], px, py, D
         )
+        mx = buf[slot][0:1, :]
+        my = buf[slot][1:2, :]
         one_minus = 1.0 - alpha
         logs = jnp.log1p(-alpha)
         S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
@@ -268,28 +285,51 @@ def _bwd_kernel(
 
         unclamped = (op * vis) <= ALPHA_CLAMP
         v_sigma = jnp.where(unclamped, -op * vis * v_alpha, 0.0)
-        v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
 
-        # per-entry grads: reduce over pixels → sublane-axis sums → [1, G]
-        g_mx = jnp.sum(v_sigma * (ca * dx + cb * dy), axis=0, keepdims=True)
-        g_my = jnp.sum(v_sigma * (cb * dx + cc * dy), axis=0, keepdims=True)
-        g_ca = jnp.sum(0.5 * v_sigma * dx * dx, axis=0, keepdims=True)
-        g_cb = jnp.sum(v_sigma * dx * dy, axis=0, keepdims=True)
-        g_cc = jnp.sum(0.5 * v_sigma * dy * dy, axis=0, keepdims=True)
-        g_op = jnp.sum(v_op, axis=0, keepdims=True)
+        # Per-entry grads: every Σ_p reduces a polynomial in (px, py) times
+        # v_sigma (dx = mx − px with mx constant per entry), so ALL of them
+        # come from the six pixel moments Σ_p pᵃ·v_sigma — ONE [8, P]×[P, G]
+        # MXU matmul instead of six cross-sublane VPU reductions (which cost
+        # ~26x the forward kernel; measured v5e). Moments use TILE-LOCAL
+        # coordinates (≤ tile_size + radius) so the polynomial recombination
+        # below doesn't cancel catastrophically at 1080p-scale pixel values.
+        basis = _pixel_moment_basis(tile_size)  # [8, P] static
+        mom = jax.lax.dot_general(
+            basis, v_sigma,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [8, G]: rows 1, pxl, pyl, pxl², pxl·pyl, pyl²
+        t_in_img = t % tiles_per_image
+        tx0 = ((t_in_img % tile_width) * tile_size).astype(jnp.float32)
+        ty0 = ((t_in_img // tile_width) * tile_size).astype(jnp.float32)
+        mxl = mx - tx0  # [1, G] tile-local gaussian centers
+        myl = my - ty0
+        m0 = mom[0:1, :]
+        mpx = mom[1:2, :]
+        mpy = mom[2:3, :]
+        mxx = mom[3:4, :]
+        mxy = mom[4:5, :]
+        myy = mom[5:6, :]
+        s_dx = mxl * m0 - mpx  # Σ v_sigma·dx
+        s_dy = myl * m0 - mpy
+        s_dxx = mxl * mxl * m0 - 2.0 * mxl * mpx + mxx
+        s_dxy = mxl * myl * m0 - mxl * mpy - myl * mpx + mxy
+        s_dyy = myl * myl * m0 - 2.0 * myl * mpy + myy
+        obuf[slot, 0:1] = ca * s_dx + cb * s_dy  # g_mx
+        obuf[slot, 1:2] = cb * s_dx + cc * s_dy  # g_my
+        obuf[slot, 2:3] = 0.5 * s_dxx  # g_ca
+        obuf[slot, 3:4] = s_dxy  # g_cb
+        obuf[slot, 4:5] = 0.5 * s_dyy  # g_cc
+        # v_op = vis·v_alpha = −v_sigma/op where v_sigma ≠ 0 → g_op = −m0/op
+        obuf[slot, 5:6] = jnp.where(op > 0.0, -m0 / jnp.where(op > 0.0, op, 1.0), 0.0)
         # v_colors[d, g] = Σ_p v_C[d, p] · w[p, g]
-        g_col = jnp.dot(
+        obuf[slot, 6 : 6 + D] = jnp.dot(
             vcol_ref[:, :], w, preferred_element_type=jnp.float32
         )  # [D, G]
-        out = jnp.concatenate(
-            [g_mx, g_my, g_ca, g_cb, g_cc, g_op, g_col], axis=0
-        )  # [6 + D, G]
-        pad_rows = obuf.shape[1] - out.shape[0]
-        if pad_rows:
-            out = jnp.concatenate(
-                [out, jnp.zeros((pad_rows, out.shape[1]), out.dtype)], axis=0
+        if obuf.shape[1] > 6 + D:
+            obuf[slot, 6 + D :] = jnp.zeros(
+                (obuf.shape[1] - 6 - D, CHUNK), jnp.float32
             )
-        obuf[slot] = out
         dma_out(j, slot).start()
 
         prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
@@ -437,18 +477,33 @@ def _raster_packed_bwd(
         ),
         interpret=_use_interpret(),
     )(offsets, packed, trans_out, tot_q, v_colors_out, v_alpha_img)
-    # Mask entries the kernel never wrote: the region past the last tile's
-    # aligned end, and per-tile truncation tails beyond max_chunks·CHUNK.
-    # (Ranges are disjoint and chunk-aligned, so there is no cross-tile
-    # spill; padding slots compute zero grads by construction.)
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    tile_of = (
-        jnp.searchsorted(offsets, idx, side="right").astype(jnp.int32) - 1
-    )
-    start_of = offsets[jnp.clip(tile_of, 0, offsets.shape[0] - 1)]
-    processed = (idx - start_of < max_chunks * CHUNK) & (idx < offsets[-1])
-    v_packed = jnp.where(processed[None, :], v_packed, 0.0)
+    v_packed = jnp.where(_processed_mask(offsets, capacity, max_chunks)[None, :],
+                         v_packed, 0.0)
     return v_packed, None
+
+
+def _processed_mask(offsets, capacity: int, max_chunks: int) -> jnp.ndarray:
+    """Entries the backward kernels actually wrote: within offsets[-1] and
+    within the first max_chunks·CHUNK of their tile's (chunk-aligned) range.
+
+    Computed at CHUNK granularity then repeated — a per-entry searchsorted
+    over millions of queries into the small offsets table lowers to
+    serialized scalar gathers (~250 ms/frame at 1080p; measured v5e).
+    Ranges are disjoint and chunk-aligned, so every entry of a chunk shares
+    the same tile and the same truth value.
+    """
+    n_chunks_total = capacity // CHUNK
+    chunk_pos = jnp.arange(n_chunks_total, dtype=jnp.int32) * CHUNK
+    tile_of_chunk = (
+        jnp.searchsorted(offsets, chunk_pos, side="right").astype(jnp.int32)
+        - 1
+    )
+    start_chunk = offsets[jnp.clip(tile_of_chunk, 0, offsets.shape[0] - 1)]
+    proc_chunk = chunk_pos - start_chunk < max_chunks * CHUNK
+    processed = jnp.repeat(proc_chunk, CHUNK)
+    return processed & (
+        jnp.arange(capacity, dtype=jnp.int32) < offsets[-1]
+    )
 
 
 _raster_packed_core.defvjp(_raster_packed_fwd, _raster_packed_bwd)
@@ -515,12 +570,14 @@ def rasterize_to_pixels_packed(
     # contiguous 64B rows, then transpose (a bandwidth-bound relayout).
     feats = jax.lax.optimization_barrier(feats)
     rows = feats[ids]  # [aligned_capacity, F] — flat row gather (cheap)
-    rows = rows.at[:, 5].set(jnp.where(entry_valid, rows[:, 5], 0.0))
     if absgrad_dummy is not None:
         from tdgs.ops.rasterize_jax import absgrad_tap
 
         rows = absgrad_tap(rows, absgrad_dummy, ids, entry_valid)
     packed = jax.lax.optimization_barrier(rows).T  # [F, aligned_capacity]
+    # zero padding slots' opacity AFTER the transpose: a single-row update
+    # instead of a full [capacity, F] copy (absgrad_tap ignores opacity)
+    packed = packed.at[5:6, :].multiply(entry_valid[None, :].astype(packed.dtype))
     capacity = packed.shape[1]
 
     colors_out, trans_out = _raster_packed_core(

@@ -457,9 +457,10 @@ def rasterization_2dgs(
     (render_colors, render_alphas, render_normals [world frame],
     render_normals_from_depth, render_distort, render_median, meta).
 
-    ``rasterizer``: "jax" (differentiable, full outputs) or
-    "packed_inference" (streaming Pallas fast path; forward-only,
-    distortion/median outputs are zeros)."""
+    ``rasterizer``: "jax" (differentiable jnp oracle, full outputs),
+    "packed" (differentiable streaming Pallas training path, full outputs;
+    median depth is non-differentiable), or "packed_inference" (fastest
+    forward-only path; distortion/median outputs are zeros)."""
     from tdgs.ops.projection_2dgs import fully_fused_projection_2dgs
     from tdgs.ops.rasterize_2dgs_jax import rasterize_to_pixels_2dgs_jax
     from tdgs.utils.depth import depth_to_normal
@@ -515,9 +516,13 @@ def rasterization_2dgs(
 
     tile_width = math.ceil(width / float(tile_size))
     tile_height = math.ceil(height / float(tile_size))
-    if rasterizer == "packed_inference":
-        # streaming Pallas fast path (unaligned packed entries, fwd-only)
+    if rasterizer in ("packed", "packed_inference"):
+        # streaming Pallas fast paths: "packed" is the differentiable
+        # training kernel pair (aligned entry ranges, custom VJP, real
+        # distortion/median outputs); "packed_inference" skips the
+        # realignment pass and is forward-only with zero distort/median.
         from tdgs.ops.rasterize_2dgs_pallas import (
+            rasterize_to_pixels_2dgs_packed,
             rasterize_to_pixels_2dgs_packed_inference,
         )
         from tdgs.ops.tiling import isect_tiles_packed
@@ -528,16 +533,27 @@ def rasterization_2dgs(
             tile_height, max_tiles_per_gauss=max_tiles_per_gauss,
             capacity=isect_capacity,
         )
-        render_colors, render_alphas, render_normals_cam = (
-            rasterize_to_pixels_2dgs_packed_inference(
+        if rasterizer == "packed":
+            (render_colors, render_alphas, render_normals_cam,
+             render_distort, render_median) = rasterize_to_pixels_2dgs_packed(
                 means2d, ray_transforms, colors_cn, normals, opacities_cn,
                 width, height, tile_size, isect_p.offsets,
                 isect_p.flatten_ids, backgrounds=backgrounds,
                 tile_capacity=tile_capacity,
+                has_depth=need_depth,
+                compute_distort=distloss or need_depth,
             )
-        )
-        render_distort = jnp.zeros_like(render_alphas)
-        render_median = jnp.zeros_like(render_alphas)
+        else:
+            render_colors, render_alphas, render_normals_cam = (
+                rasterize_to_pixels_2dgs_packed_inference(
+                    means2d, ray_transforms, colors_cn, normals,
+                    opacities_cn, width, height, tile_size, isect_p.offsets,
+                    isect_p.flatten_ids, backgrounds=backgrounds,
+                    tile_capacity=tile_capacity,
+                )
+            )
+            render_distort = jnp.zeros_like(render_alphas)
+            render_median = jnp.zeros_like(render_alphas)
 
         class _IsectShim:
             tiles_per_gauss = None

@@ -372,6 +372,12 @@ class Runner:
                     isect_capacity=cfg.isect_capacity,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
                     backgrounds=backgrounds,
+                    # differentiable Pallas fast path on TPU (custom-VJP
+                    # pair in rasterize_2dgs_pallas); jnp oracle elsewhere
+                    rasterizer=(
+                        "packed"
+                        if jax.default_backend() == "tpu" else "jax"
+                    ),
                 )
                 colors = img[..., :3]
                 loss = L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)

@@ -158,3 +158,58 @@ def test_2dgs_packed_inference_matches_jax():
             np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
             err_msg=f"output {k}",
         )
+
+
+def test_2dgs_packed_training_matches_jax():
+    """The differentiable packed 2DGS path must match the jnp rasterizer on
+    ALL outputs (colors, alpha, normals, distort, median) AND gradients."""
+    rng = np.random.default_rng(7)
+    means, quats, scales, opac, colors, viewmats, Ks, width, height = (
+        make_surfel_scene(rng, N=48, C=1)
+    )
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(Ks),
+    )
+    common = dict(
+        width=width, height=height, tile_capacity=256,
+        max_tiles_per_gauss=16, render_mode="RGB+ED", distloss=True,
+    )
+    out_j = rasterization_2dgs(*args, **common, rasterizer="jax")
+    out_p = rasterization_2dgs(*args, **common, rasterizer="packed")
+    names = ["colors", "alpha", "normals", "normals_from_depth",
+             "distort", "median"]
+    for k, (a, b) in enumerate(zip(out_p[:6], out_j[:6])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3,
+            err_msg=f"output {names[k]}",
+        )
+
+    def loss(means_, quats_, scales_, opac_, colors_, rasterizer):
+        img, alpha, normals, nfd, distort, _, _ = rasterization_2dgs(
+            means_, quats_, scales_, opac_, colors_,
+            jnp.asarray(viewmats), jnp.asarray(Ks),
+            rasterizer=rasterizer, **common,
+        )
+        return (
+            jnp.sum(img**2) + jnp.sum(alpha**2) + jnp.sum(normals**2)
+            + 3.0 * jnp.sum(distort)
+        )
+
+    diff_args = tuple(jnp.asarray(x) for x in
+                      (means, quats, scales, opac, colors))
+    g_j = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*diff_args, "jax")
+    g_p = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*diff_args, "packed")
+    for name, a, b in zip(["means", "quats", "scales", "opac", "colors"],
+                          g_p, g_j):
+        a, b = np.asarray(a), np.asarray(b)
+        # tolerance relative to the gradient's scale: the two impls compute
+        # sigma3d with different factorizations, so pixels sitting exactly
+        # on the min(sigma3d, sigma2d) branch boundary may flip branches
+        scale = np.abs(b).max()
+        np.testing.assert_allclose(
+            a / scale, b / scale, rtol=2e-3, atol=1e-3,
+            err_msg=f"grad {name}",
+        )
+        assert scale > 0, name
