@@ -192,7 +192,11 @@ def isect_tiles_packed(
     assert depth_bits >= 8, (
         f"too many tiles ({I * n_tiles}) for packed keys; use isect_tiles"
     )
-    depth_levels = (1 << depth_bits) - 1
+    # top value reserved: the last tile's max-depth key would otherwise be
+    # ((T-1) << depth_bits) | (2^depth_bits - 1) == INT32_SENTINEL and the
+    # entry would be dropped as invalid (it composites last in the corner
+    # tile — found by the sharded packed-grad parity test)
+    depth_levels = (1 << depth_bits) - 2
 
     means2d_f = means2d.reshape(I, N, 2)
     radii_f = radii.reshape(I, N, 2).astype(means2d_f.dtype)

@@ -22,6 +22,11 @@ all_to_all with projection/SH compute over ICI.
 Sharding contract: gaussians sharded on axis 0 across the mesh axis;
 cameras sharded on axis 0 (each device renders its own C/D cameras, as the
 reference requires equal per-rank camera counts).
+
+Rasterizer selection mirrors single-device ``rasterization()``:
+"jax" (jnp oracle), "pallas" (prototype kernel), "packed" (production
+streaming Pallas kernel with custom VJP — the training fast path), and
+"packed_inference" (fastest, forward-only).
 """
 
 from __future__ import annotations
@@ -38,6 +43,8 @@ from tdgs.ops.projection import fully_fused_projection
 from tdgs.ops.rasterize_jax import rasterize_to_pixels_jax
 from tdgs.ops.sh import spherical_harmonics
 from tdgs.ops.tiling import isect_offset_encode, isect_tiles
+
+_RENDER_MODES = ("RGB", "D", "ED", "RGB+D", "RGB+ED")
 
 
 def rasterization_sharded(
@@ -58,6 +65,9 @@ def rasterization_sharded(
     eps2d: float = 0.3,
     radius_clip: float = 0.0,
     tile_size: int = 16,
+    backgrounds: Optional[jnp.ndarray] = None,  # [C, D] camera-sharded
+    render_mode: str = "RGB",
+    rasterize_mode: str = "classic",
     isect_capacity: Optional[int] = None,
     tile_capacity: int = 512,
     max_tiles_per_gauss: int = 32,
@@ -65,17 +75,27 @@ def rasterization_sharded(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Collaboratively render C cameras from N gaussians sharded over the mesh.
 
-    Returns (render_colors [C, H, W, D], render_alphas [C, H, W, 1], meta) with
-    outputs sharded by camera. Differentiable w.r.t. all gaussian inputs —
-    gradients flow back through the all_to_all to each gaussian's home device
-    (no gradient all-reduce, matching the reference's ownership model).
+    Returns (render_colors [C, H, W, X], render_alphas [C, H, W, 1], meta)
+    with outputs sharded by camera; X follows ``render_mode`` exactly like
+    single-device ``rasterization()``. Differentiable w.r.t. all gaussian
+    inputs — gradients flow back through the all_to_all to each gaussian's
+    home device (no gradient all-reduce, matching the reference's ownership
+    model). ``rasterize_mode="antialiased"`` applies the projection blur
+    compensation to opacities (reference rendering.py antialiased mode).
     """
     D_mesh = mesh.shape[axis_name]
     C = viewmats.shape[0]
     N = means.shape[0]
     assert C % D_mesh == 0, f"cameras {C} must divide over {D_mesh} devices"
+    assert render_mode in _RENDER_MODES, render_mode
+    assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
+    assert rasterizer in ("jax", "pallas", "packed", "packed_inference")
+    calc_compensations = rasterize_mode == "antialiased"
+    need_depth = render_mode in ("D", "ED", "RGB+D", "RGB+ED")
+    depth_only = render_mode in ("D", "ED")
 
-    def local_fn(means, quats, scales, opacities, colors, viewmats, Ks):
+    def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
+                 *maybe_bkgd):
         # means etc: local shard [n, ...]; viewmats: local cameras [c, 4, 4]
         n = means.shape[0]
         # (1) gather all cameras (reference rendering.py:366-381)
@@ -83,10 +103,11 @@ def rasterization_sharded(
         Ks_all = jax.lax.all_gather(Ks, axis_name, tiled=True)
 
         # (2) project local gaussians against ALL cameras
-        radii, means2d, depths, conics, _ = fully_fused_projection(
+        radii, means2d, depths, conics, compensations = fully_fused_projection(
             means, quats, scales, viewmats_all, Ks_all, width, height,
             eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
             radius_clip=radius_clip, opacities=opacities,
+            calc_compensations=calc_compensations,
         )  # [C, n, ...]
 
         # (3) colors for all cameras
@@ -101,6 +122,8 @@ def rasterization_sharded(
             cols = jnp.maximum(cols + 0.5, 0.0)
 
         opac = jnp.broadcast_to(opacities[None], (C, n))
+        if calc_compensations:
+            opac = opac * compensations
 
         # (4) exchange: camera-major -> gaussian-major
         #     [C, n, ...] -> [C/D, N, ...]: each device keeps its own cameras
@@ -114,50 +137,99 @@ def rasterization_sharded(
         means2d_l = a2a(means2d)
         depths_l = a2a(depths)
         conics_l = a2a(conics)
-        cols_l = a2a(cols)
         opac_l = a2a(opac)
+        if depth_only:
+            # D/ED: the depth IS the single channel — skip the color exchange
+            cols_l = depths_l[..., None]
+        else:
+            cols_l = a2a(cols)
+            if need_depth:
+                cols_l = jnp.concatenate(
+                    [cols_l, depths_l[..., None]], axis=-1
+                )
+
+        bkgd = maybe_bkgd[0] if maybe_bkgd else None
+        if bkgd is not None:
+            dch = cols_l.shape[-1]
+            if bkgd.shape[-1] < dch:  # zero background on the depth channel
+                bkgd = jnp.concatenate(
+                    [bkgd, jnp.zeros(bkgd.shape[:-1] + (dch - bkgd.shape[-1],),
+                                     bkgd.dtype)], axis=-1,
+                )
+            elif depth_only:
+                bkgd = jnp.zeros(bkgd.shape[:-1] + (1,), bkgd.dtype)
 
         c_local = radii_l.shape[0]
         tile_width = math.ceil(width / tile_size)
         tile_height = math.ceil(height / tile_size)
         cap = isect_capacity or max(1 << 14, c_local * N * 4)
 
-        isect = isect_tiles(
-            jax.lax.stop_gradient(means2d_l), radii_l,
-            jax.lax.stop_gradient(depths_l),
-            tile_size, tile_width, tile_height,
-            capacity=cap, max_tiles_per_gauss=max_tiles_per_gauss,
-        )
-        offsets = isect_offset_encode(
-            isect.isect_keys, c_local, tile_width, tile_height
-        )
+        if rasterizer in ("packed", "packed_inference"):
+            from tdgs.ops.rasterize_pallas_packed import (
+                rasterize_to_pixels_packed,
+                rasterize_to_pixels_packed_inference,
+            )
+            from tdgs.ops.tiling import isect_tiles_packed
 
-        if rasterizer == "pallas":
-            from tdgs.ops.rasterize_pallas import rasterize_to_pixels_pallas
-
-            raster_fn = rasterize_to_pixels_pallas
+            isect = isect_tiles_packed(
+                jax.lax.stop_gradient(means2d_l), radii_l,
+                jax.lax.stop_gradient(depths_l),
+                tile_size, tile_width, tile_height,
+                max_tiles_per_gauss=max_tiles_per_gauss,
+                capacity=isect_capacity,
+            )
+            raster_fn = (
+                rasterize_to_pixels_packed_inference
+                if rasterizer == "packed_inference"
+                else rasterize_to_pixels_packed
+            )
+            img, alpha = raster_fn(
+                means2d_l, conics_l, cols_l, opac_l, width, height,
+                tile_size, isect.offsets, isect.flatten_ids,
+                backgrounds=bkgd, tile_capacity=tile_capacity,
+            )
         else:
-            raster_fn = rasterize_to_pixels_jax
+            isect = isect_tiles(
+                jax.lax.stop_gradient(means2d_l), radii_l,
+                jax.lax.stop_gradient(depths_l),
+                tile_size, tile_width, tile_height,
+                capacity=cap, max_tiles_per_gauss=max_tiles_per_gauss,
+            )
+            offsets = isect_offset_encode(
+                isect.isect_keys, c_local, tile_width, tile_height
+            )
+            if rasterizer == "pallas":
+                from tdgs.ops.rasterize_pallas import (
+                    rasterize_to_pixels_pallas,
+                )
 
-        img, alpha = raster_fn(
-            means2d_l, conics_l, cols_l, opac_l, width, height, tile_size,
-            offsets, isect.flatten_ids, isect.n_isects,
-            tile_capacity=tile_capacity,
-        )
+                raster_fn = rasterize_to_pixels_pallas
+            else:
+                raster_fn = rasterize_to_pixels_jax
+            img, alpha = raster_fn(
+                means2d_l, conics_l, cols_l, opac_l, width, height,
+                tile_size, offsets, isect.flatten_ids, isect.n_isects,
+                backgrounds=bkgd, tile_capacity=tile_capacity,
+            )
+        if render_mode in ("ED", "RGB+ED"):
+            img = jnp.concatenate(
+                [img[..., :-1],
+                 img[..., -1:] / jnp.maximum(alpha, 1e-10)], axis=-1,
+            )
         return img, alpha, isect.n_dropped[None]  # [1] per device → [D]
 
+    in_specs = [P(axis_name)] * 7
+    args = [means, quats, scales, opacities, colors, viewmats, Ks]
+    if backgrounds is not None:
+        in_specs.append(P(axis_name))
+        args.append(backgrounds)
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(
-            P(axis_name), P(axis_name), P(axis_name), P(axis_name),
-            P(axis_name), P(axis_name), P(axis_name),
-        ),
+        in_specs=tuple(in_specs),
         out_specs=(P(axis_name), P(axis_name), P(axis_name)),
         check_vma=False,
     )
-    img, alpha, n_dropped = shard(
-        means, quats, scales, opacities, colors, viewmats, Ks
-    )
+    img, alpha, n_dropped = shard(*args)
     meta = {"n_dropped": n_dropped, "width": width, "height": height}
     return img, alpha, meta

@@ -83,3 +83,98 @@ def test_sharded_render_grads_flow_to_gaussians():
         assert np.isfinite(gs).all()
         scale = np.abs(gr).max() + 1e-8
         assert np.abs(gs - gr).max() / scale < 1e-3
+
+
+@pytest.mark.parametrize("rasterizer", ["packed", "packed_inference"])
+def test_sharded_render_packed_matches_single_device(rasterizer):
+    """The production packed rasterizers must work inside the shard_map
+    exchange and match the single-device render."""
+    rng = np.random.default_rng(61)
+    means, quats, scales, opac, sh, viewmats, Ks = make_scene(rng)
+    width, height = 64, 48
+    mesh = make_mesh()
+
+    img_s, alp_s, meta = rasterization_sharded(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmats),
+        jnp.asarray(Ks), width, height, mesh, sh_degree=1,
+        tile_capacity=128, isect_capacity=1 << 13, rasterizer=rasterizer,
+    )
+    assert int(np.asarray(meta["n_dropped"]).sum()) == 0
+    img_r, alp_r, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmats),
+        jnp.asarray(Ks), width, height, sh_degree=1,
+        tile_capacity=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(img_r), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(alp_s), np.asarray(alp_r), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_sharded_render_full_options_match_single_device():
+    """antialiased + RGB+ED + backgrounds parity with rasterization()."""
+    rng = np.random.default_rng(62)
+    means, quats, scales, opac, sh, viewmats, Ks = make_scene(rng)
+    width, height = 64, 48
+    C = viewmats.shape[0]
+    bkgd = rng.uniform(0, 1, size=(C, 3)).astype(np.float32)
+    mesh = make_mesh()
+
+    kw = dict(
+        sh_degree=1, tile_capacity=128,
+        render_mode="RGB+ED", rasterize_mode="antialiased",
+        backgrounds=jnp.asarray(bkgd),
+    )
+    img_s, alp_s, _ = rasterization_sharded(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmats),
+        jnp.asarray(Ks), width, height, mesh, isect_capacity=1 << 14,
+        rasterizer="packed", **kw,
+    )
+    img_r, alp_r, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmats),
+        jnp.asarray(Ks), width, height, **kw,
+    )
+    assert img_s.shape == img_r.shape == (C, height, width, 4)
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(img_r), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_sharded_render_packed_grads_match_single_device():
+    rng = np.random.default_rng(63)
+    means, quats, scales, opac, sh, viewmats, Ks = make_scene(rng, N=32)
+    width, height = 32, 32
+    mesh = make_mesh()
+
+    def loss_sharded(means_, opac_):
+        img, alpha, _ = rasterization_sharded(
+            means_, jnp.asarray(quats), jnp.asarray(scales), opac_,
+            jnp.asarray(sh), jnp.asarray(viewmats), jnp.asarray(Ks),
+            width, height, mesh, sh_degree=1, tile_capacity=128,
+            isect_capacity=1 << 13, rasterizer="packed",
+        )
+        return jnp.sum(img**2) + jnp.sum(alpha)
+
+    def loss_single(means_, opac_):
+        img, alpha, _ = rasterization(
+            means_, jnp.asarray(quats), jnp.asarray(scales), opac_,
+            jnp.asarray(sh), jnp.asarray(viewmats), jnp.asarray(Ks),
+            width, height, sh_degree=1, tile_capacity=128,
+        )
+        return jnp.sum(img**2) + jnp.sum(alpha)
+
+    a = (jnp.asarray(means), jnp.asarray(opac))
+    g_s = jax.grad(loss_sharded, argnums=(0, 1))(*a)
+    g_r = jax.grad(loss_single, argnums=(0, 1))(*a)
+    for name, gs, gr in zip(["means", "opac"], g_s, g_r):
+        np.testing.assert_allclose(
+            np.asarray(gs), np.asarray(gr), rtol=2e-3, atol=2e-3,
+            err_msg=name,
+        )
+        assert np.abs(np.asarray(gs)).max() > 0
