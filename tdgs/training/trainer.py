@@ -105,6 +105,11 @@ class Runner:
         self.ckpt_dir = os.path.join(cfg.result_dir, "ckpts")
         os.makedirs(self.stats_dir, exist_ok=True)
         os.makedirs(self.ckpt_dir, exist_ok=True)
+        from tdgs.utils.logger import MetricsLogger
+
+        # JSONL always; TensorBoard mirror when torch is importable
+        # (reference simple_trainer.py:387 SummaryWriter)
+        self.logger = MetricsLogger(cfg.result_dir)
 
         self.parser = Parser(
             cfg.data_dir,
@@ -380,30 +385,38 @@ class Runner:
                     ),
                 )
                 colors = img[..., :3]
-                loss = L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)
+                terms = {
+                    "rgbloss": L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)
+                }
+                loss = terms["rgbloss"]
                 if cfg.normal_loss:
                     nfd = normals_from_depth * jax.lax.stop_gradient(alpha)
                     normal_err = 1.0 - jnp.sum(normals * nfd, axis=-1)
-                    loss = loss + lr_dict.get(
+                    terms["normalloss"] = lr_dict.get(
                         "normal_lambda", jnp.float32(0.0)
                     ) * normal_err.mean()
+                    loss = loss + terms["normalloss"]
                 if cfg.dist_loss:
-                    loss = loss + lr_dict.get(
+                    terms["distloss"] = lr_dict.get(
                         "dist_lambda", jnp.float32(0.0)
                     ) * render_distort.mean()
+                    loss = loss + terms["distloss"]
                 aux = {
                     "radii": meta["radii"],
                     "n_dropped": meta["n_dropped"],
                     "img": colors,
                 }
                 if cfg.opacity_reg > 0:
-                    loss = loss + cfg.opacity_reg * jnp.mean(
+                    terms["opacityreg"] = cfg.opacity_reg * jnp.mean(
                         jnp.abs(jax.nn.sigmoid(params["opacities"]))
                     )
+                    loss = loss + terms["opacityreg"]
                 if cfg.scale_reg > 0:
-                    loss = loss + cfg.scale_reg * jnp.mean(
+                    terms["scalereg"] = cfg.scale_reg * jnp.mean(
                         jnp.abs(jnp.exp(params["scales"]))
                     )
+                    loss = loss + terms["scalereg"]
+                aux["loss_terms"] = jax.lax.stop_gradient(terms)
                 return loss, aux
 
             img, alpha, meta = self.rasterize_splats(
@@ -425,30 +438,41 @@ class Runner:
                 colors = bilateral_grid_slice(
                     aux["bilagrid"], batch["image_id"], colors
                 )
-            loss = L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)
+            terms = {
+                "rgbloss": L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)
+            }
+            loss = terms["rgbloss"]
             if "bilagrid" in aux:
-                loss = loss + 10.0 * total_variation_loss(aux["bilagrid"])
+                terms["tvloss"] = 10.0 * total_variation_loss(aux["bilagrid"])
+                loss = loss + terms["tvloss"]
             if "pose" in aux:
-                loss = loss + cfg.pose_opt_reg * jnp.mean(aux["pose"] ** 2)
+                terms["posereg"] = cfg.pose_opt_reg * jnp.mean(
+                    aux["pose"] ** 2
+                )
+                loss = loss + terms["posereg"]
             if cfg.app_opt:
                 # weight-decay-equivalent on the appearance embeddings
                 # (reference app optimizer weight_decay=app_opt_reg)
-                loss = loss + cfg.app_opt_reg * jnp.mean(
+                terms["appreg"] = cfg.app_opt_reg * jnp.mean(
                     aux["app_embeds"] ** 2
                 )
+                loss = loss + terms["appreg"]
             if cfg.depth_loss:
-                loss = loss + cfg.depth_lambda * L.depth_loss_sparse(
+                terms["depthloss"] = cfg.depth_lambda * L.depth_loss_sparse(
                     img[..., 3:], batch["points"], batch["depths"],
                     valid=batch.get("points_valid"),
                 )
+                loss = loss + terms["depthloss"]
             if cfg.opacity_reg > 0:
-                loss = loss + cfg.opacity_reg * jnp.mean(
+                terms["opacityreg"] = cfg.opacity_reg * jnp.mean(
                     jnp.abs(jax.nn.sigmoid(params["opacities"]))
                 )
+                loss = loss + terms["opacityreg"]
             if cfg.scale_reg > 0:
-                loss = loss + cfg.scale_reg * jnp.mean(
+                terms["scalereg"] = cfg.scale_reg * jnp.mean(
                     jnp.abs(jnp.exp(params["scales"]))
                 )
+                loss = loss + terms["scalereg"]
             if use_seg_loss or use_spatial_reg:
                 # second full render through the N-D feature path
                 # (reference simple_trainer.py:945-975)
@@ -471,18 +495,36 @@ class Runner:
                         seg = seg + cgc_contrastive_clustering_loss(
                             feat_map[b], batch["instance_mask"][b]
                         )
-                    loss = loss + cfg.seg_loss_weight * seg / B
+                    terms["segloss"] = cfg.seg_loss_weight * seg / B
+                    loss = loss + terms["segloss"]
+                    # cluster-quality diagnostics at tb cadence
+                    # (reference utils.py:log_cluster_quality:789-825)
+                    from tdgs.segmentation.losses import cluster_quality
+
+                    intra, inter = cluster_quality(
+                        jax.lax.stop_gradient(feat_map[0]),
+                        batch["instance_mask"][0],
+                    )
+                    cq = (intra, inter)
+                else:
+                    cq = None
                 if use_spatial_reg:
-                    loss = loss + cfg.seg_spatial_weight * (
+                    terms["spatialreg"] = cfg.seg_spatial_weight * (
                         cgc_spatial_regularizer(
                             feats, params["means"], k_spatial
                         )
                     )
+                    loss = loss + terms["spatialreg"]
+            else:
+                cq = None
             aux = {
                 "radii": meta["radii"],
                 "n_dropped": meta["n_dropped"],
                 "img": colors,
+                "loss_terms": jax.lax.stop_gradient(terms),
             }
+            if cq is not None:
+                aux["cluster_quality"] = jax.lax.stop_gradient(cq)
             return loss, aux
 
         # the training batch is folded into the camera axis (viewmats
@@ -567,6 +609,7 @@ class Runner:
         cursor = 0
         t0 = time.time()
         history = []
+        last_log_step, last_log_time = 0, t0
 
         for step in range(1, max_steps + 1):
             if cursor + cfg.batch_size > len(order):
@@ -660,6 +703,40 @@ class Runner:
 
             if step % cfg.tb_every == 0 or step == max_steps:
                 history.append({"step": step, "loss": float(loss)})
+                # scalar dashboard (reference simple_trainer.py:1015-1036)
+                from tdgs.utils.logger import device_mem_gb
+
+                now = time.time()
+                n_pix = (
+                    batch["image"].shape[1] * batch["image"].shape[2]
+                    * cfg.batch_size
+                )
+                steps_since = step - last_log_step
+                rays_sec = n_pix * steps_since / max(now - last_log_time, 1e-9)
+                last_log_step, last_log_time = step, now
+                scalars = {
+                    "train/loss": float(loss),
+                    "train/num_GS": int(
+                        np.asarray(G.alive_mask(self.splats)).sum()
+                    ),
+                    "train/visible_GS": int(
+                        np.asarray(
+                            (aux["radii"] > 0).all(-1).any(
+                                axis=tuple(range(aux["radii"].ndim - 2))
+                            ).sum()
+                        )
+                    ),
+                    "train/rays_per_sec": rays_sec,
+                    "train/sh_degree": sh_degree,
+                    "train/mem_gb": device_mem_gb(),
+                }
+                for k, v in aux.get("loss_terms", {}).items():
+                    scalars[f"train/{k}"] = float(v)
+                if "cluster_quality" in aux:
+                    intra, inter = aux["cluster_quality"]
+                    scalars["train/cluster_intra"] = float(intra)
+                    scalars["train/cluster_inter"] = float(inter)
+                self.logger.log(step, scalars)
 
             if step in cfg.eval_steps:
                 self.eval(step)
@@ -698,6 +775,7 @@ class Runner:
         )
         with open(os.path.join(self.stats_dir, f"val_step{step}.json"), "w") as f:
             json.dump(out, f)
+        self.logger.log(step, {f"val/{k}": v for k, v in out.items()})
         return out
 
     # ------------------------------------------------------------------
