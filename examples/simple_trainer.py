@@ -79,9 +79,11 @@ def main():
         v = getattr(args, f.name, None)
         if v is None or f.name == "strategy":
             continue
-        if isinstance(v, str) and isinstance(
-            getattr(Config, f.name, None), list
-        ):
+        is_list_field = (
+            f.default_factory is not dataclasses.MISSING
+            and isinstance(f.default_factory(), list)
+        )
+        if isinstance(v, str) and is_list_field:
             v = [int(x) for x in v.split(",")]
         cfg_kwargs[f.name] = v
     cfg = Config(strategy=strategy, **cfg_kwargs)

@@ -7,73 +7,8 @@ import pytest
 from tdgs.strategy import DefaultStrategy, MCMCStrategy
 from tdgs.training.config import Config
 from tdgs.training.trainer import Runner
+from tdgs.utils.test_data import make_colmap_test_scene as render_target_scene
 from tests.test_datasets import write_synthetic_colmap
-
-
-def render_target_scene(root, n_images=8, width=64, height=48):
-    """Synthetic scene whose images are actual 3DGS renders — trainable."""
-    import struct
-    from PIL import Image
-    import jax.numpy as jnp
-
-    from tdgs.rendering import rasterization
-
-    rng = np.random.default_rng(7)
-    os.makedirs(os.path.join(root, "sparse", "0"), exist_ok=True)
-    os.makedirs(os.path.join(root, "images"), exist_ok=True)
-    sparse = os.path.join(root, "sparse", "0")
-
-    n_pts = 120
-    pts = rng.normal(size=(n_pts, 3)).astype(np.float32) * 0.4 + [0, 0, 4.0]
-    cols = rng.uniform(0.2, 1.0, size=(n_pts, 3)).astype(np.float32)
-
-    f = 70.0
-    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
-    viewmats = []
-    for i in range(n_images):
-        vm = np.eye(4, dtype=np.float32)
-        vm[0, 3] = 0.4 * np.cos(2 * np.pi * i / n_images)
-        vm[1, 3] = 0.4 * np.sin(2 * np.pi * i / n_images)
-        viewmats.append(vm)
-    viewmats = np.stack(viewmats)
-
-    # ground-truth gaussians at the points
-    quats = np.tile([1.0, 0, 0, 0], (n_pts, 1)).astype(np.float32)
-    scales = np.full((n_pts, 3), 0.06, np.float32)
-    opac = np.full((n_pts,), 0.95, np.float32)
-    img, _, _ = rasterization(
-        jnp.asarray(pts), jnp.asarray(quats), jnp.asarray(scales),
-        jnp.asarray(opac), jnp.asarray(cols), jnp.asarray(viewmats),
-        jnp.asarray(np.tile(K, (n_images, 1, 1))), width, height,
-        backgrounds=jnp.zeros((n_images, 3)),
-    )
-    img = np.clip(np.asarray(img), 0, 1)
-
-    with open(os.path.join(sparse, "cameras.bin"), "wb") as fd:
-        fd.write(struct.pack("<Q", 1))
-        fd.write(struct.pack("<iiQQ", 1, 1, width, height))
-        fd.write(struct.pack("<4d", f, f, width / 2, height / 2))
-    with open(os.path.join(sparse, "points3D.bin"), "wb") as fd:
-        fd.write(struct.pack("<Q", n_pts))
-        for i in range(n_pts):
-            fd.write(struct.pack("<q", i + 1))
-            fd.write(struct.pack("<3d", *pts[i]))
-            fd.write(struct.pack("<3B", *(cols[i] * 255).astype(np.uint8)))
-            fd.write(struct.pack("<d", 0.5))
-            fd.write(struct.pack("<Q", 0))
-    with open(os.path.join(sparse, "images.bin"), "wb") as fd:
-        fd.write(struct.pack("<Q", n_images))
-        for i in range(n_images):
-            name = f"img_{i:03d}.png"
-            fd.write(struct.pack("<i", i + 1))
-            fd.write(struct.pack("<4d", 1.0, 0, 0, 0))
-            fd.write(struct.pack("<3d", *viewmats[i, :3, 3]))
-            fd.write(struct.pack("<i", 1))
-            fd.write(name.encode() + b"\x00")
-            fd.write(struct.pack("<Q", 0))
-            Image.fromarray((img[i] * 255).astype(np.uint8)).save(
-                os.path.join(root, "images", name)
-            )
 
 
 @pytest.mark.parametrize("strategy", ["mcmc", "default", "default_absgrad"])
