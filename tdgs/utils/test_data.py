@@ -56,6 +56,230 @@ def load_test_data(
     )
 
 
+def _rotmat_to_qvec(R: np.ndarray) -> np.ndarray:
+    """Rotation matrix → COLMAP wxyz quaternion (Shepperd's method)."""
+    t = np.trace(R)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        q = np.array([0.25 * s, (R[2, 1] - R[1, 2]) / s,
+                      (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s])
+    else:
+        i = int(np.argmax(np.diag(R)))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + R[i, i] - R[j, j] - R[k, k], 1e-12)) * 2
+        q = np.empty(4)
+        q[0] = (R[k, j] - R[j, k]) / s
+        q[1 + i] = 0.25 * s
+        q[1 + j] = (R[j, i] + R[i, j]) / s
+        q[1 + k] = (R[k, i] + R[i, k]) / s
+    return (q / np.linalg.norm(q)).astype(np.float64)
+
+
+def _look_at_viewmat(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """World-to-camera [4,4] for an OpenCV camera at eye looking at target
+    (z-up world; camera +z forward, +y down)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    up = np.array([0.0, 0.0, 1.0], np.float32)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right) + 1e-12
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd]).astype(np.float32)
+    vm = np.eye(4, dtype=np.float32)
+    vm[:3, :3] = R
+    vm[:3, 3] = -R @ eye
+    return vm
+
+
+def _sample_box_surface(rng, n, half_extents):
+    """Uniform sample n points on the surface of an axis-aligned box."""
+    hx, hy, hz = half_extents
+    areas = np.array([hy * hz, hy * hz, hx * hz, hx * hz, hx * hy, hx * hy])
+    face = rng.choice(6, size=n, p=areas / areas.sum())
+    u = rng.uniform(-1, 1, size=(n, 2))
+    pts = np.empty((n, 3), np.float32)
+    for f in range(6):
+        m = face == f
+        axis = f // 2
+        sign = 1.0 if f % 2 == 0 else -1.0
+        he = [hx, hy, hz]
+        p = np.zeros((m.sum(), 3), np.float32)
+        p[:, axis] = sign * he[axis]
+        others = [a for a in range(3) if a != axis]
+        p[:, others[0]] = u[m, 0] * he[others[0]]
+        p[:, others[1]] = u[m, 1] * he[others[1]]
+        pts[m] = p
+    return pts
+
+
+def _write_colmap_sparse(sparse, width, height, f, viewmats, image_names,
+                         pts, cols):
+    """Write minimal cameras.bin / images.bin / points3D.bin (one PINHOLE
+    camera shared by all images; real orbit rotations as qvecs)."""
+    import os
+    import struct
+
+    os.makedirs(sparse, exist_ok=True)
+    with open(os.path.join(sparse, "cameras.bin"), "wb") as fd:
+        fd.write(struct.pack("<Q", 1))
+        fd.write(struct.pack("<iiQQ", 1, 1, width, height))
+        fd.write(struct.pack("<4d", f, f, width / 2, height / 2))
+    with open(os.path.join(sparse, "points3D.bin"), "wb") as fd:
+        fd.write(struct.pack("<Q", len(pts)))
+        for i in range(len(pts)):
+            fd.write(struct.pack("<q", i + 1))
+            fd.write(struct.pack("<3d", *pts[i]))
+            fd.write(struct.pack("<3B", *(np.clip(cols[i], 0, 1) * 255).astype(np.uint8)))
+            fd.write(struct.pack("<d", 0.5))
+            fd.write(struct.pack("<Q", 0))
+    with open(os.path.join(sparse, "images.bin"), "wb") as fd:
+        fd.write(struct.pack("<Q", len(viewmats)))
+        for i, vm in enumerate(viewmats):
+            fd.write(struct.pack("<i", i + 1))
+            fd.write(struct.pack("<4d", *_rotmat_to_qvec(vm[:3, :3])))
+            fd.write(struct.pack("<3d", *vm[:3, 3]))
+            fd.write(struct.pack("<i", 1))
+            fd.write(image_names[i].encode() + b"\x00")
+            fd.write(struct.pack("<Q", 0))
+
+
+def make_domino_scene(
+    root,
+    n_dominoes: int = 6,
+    n_images: int = 32,
+    width: int = 480,
+    height: int = 360,
+    gauss_per_domino: int = 700,
+    ground_gauss: int = 2500,
+    seed: int = 3,
+    domino_half_extents=(0.05, 0.2, 0.4),
+    spacing: float = 0.55,
+):
+    """Write a procedural multi-view COLMAP **domino** dataset — the in-repo
+    stand-in for the reference README's captured domino scene (README.md:11-45):
+    GT gaussians form a row of colored dominoes standing on a ground plane
+    (z-up, ground z=0 — the physics engine's frame), rendered from an orbit
+    of cameras, with per-view instance-id masks under
+    masks/instance_ids_npy/{stem}_instance_id.npy (ids 1..n_dominoes, 0 =
+    background — the convention of examples/datasets/colmap.py:498-512).
+
+    Returns a dict with the GT arrays (means/quats/scales/opacities/colors/
+    labels/viewmats/Ks) for tests and golden comparisons.
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tdgs.rendering import rasterization
+
+    rng = np.random.default_rng(seed)
+    hx, hy, hz = domino_half_extents
+
+    means_list, cols_list, labels_list = [], [], []
+    # ground plane: thin disks on z≈0, subdued checker tint
+    span = spacing * n_dominoes * 0.75 + 1.0
+    gxy = rng.uniform(-span, span, size=(ground_gauss, 2)).astype(np.float32)
+    gxy[:, 0] += spacing * (n_dominoes - 1) / 2  # center under the row
+    gz = np.zeros((ground_gauss, 1), np.float32)
+    checker = ((np.floor(gxy[:, 0] * 2) + np.floor(gxy[:, 1] * 2)) % 2)
+    gcol = np.stack([0.35 + 0.15 * checker] * 3, axis=-1).astype(np.float32)
+    gcol += rng.uniform(-0.03, 0.03, size=gcol.shape).astype(np.float32)
+    means_list.append(np.concatenate([gxy, gz], axis=1))
+    cols_list.append(gcol)
+    labels_list.append(np.zeros(ground_gauss, np.int32))
+
+    # dominoes: a row along +x, thin along x so they topple forward
+    hues = np.linspace(0.0, 1.0, n_dominoes, endpoint=False)
+    for d in range(n_dominoes):
+        pts = _sample_box_surface(rng, gauss_per_domino, (hx, hy, hz))
+        pts[:, 0] += spacing * d
+        pts[:, 2] += hz  # stand on the ground
+        h = hues[d]
+        base = np.array(
+            [abs(h * 6 - 3) - 1, 2 - abs(h * 6 - 2), 2 - abs(h * 6 - 4)]
+        ).clip(0, 1)
+        col = np.tile(base[None].astype(np.float32), (gauss_per_domino, 1))
+        col *= rng.uniform(0.75, 1.0, size=(gauss_per_domino, 1)).astype(np.float32)
+        means_list.append(pts.astype(np.float32))
+        cols_list.append(col)
+        labels_list.append(np.full(gauss_per_domino, d + 1, np.int32))
+
+    means = np.concatenate(means_list)
+    cols = np.concatenate(cols_list)
+    labels = np.concatenate(labels_list)
+    n = means.shape[0]
+    quats = np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)
+    scales = np.full((n, 3), 0.030, np.float32)
+    scales[labels == 0] = [0.10, 0.10, 0.01]  # flat ground disks
+    opac = np.full((n,), 0.92, np.float32)
+
+    # orbit cameras around the row center, slightly elevated
+    center = np.array([spacing * (n_dominoes - 1) / 2, 0.0, hz], np.float32)
+    radius = max(2.2, spacing * n_dominoes * 0.9)
+    f = 1.05 * max(width, height)
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
+    viewmats = []
+    for i in range(n_images):
+        az = 2 * np.pi * i / n_images
+        el = np.deg2rad(22.0 + 14.0 * ((i % 4) / 3.0))
+        eye = center + radius * np.array(
+            [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)],
+            np.float32,
+        )
+        viewmats.append(_look_at_viewmat(eye, center))
+    viewmats = np.stack(viewmats)
+    Ks = np.tile(K, (n_images, 1, 1))
+    image_names = [f"img_{i:03d}.png" for i in range(n_images)]
+
+    # render GT images + one-hot instance features for the masks
+    j = jnp.asarray
+    imgs, _, _ = rasterization(
+        j(means), j(quats), j(scales), j(opac), j(cols),
+        j(viewmats), j(Ks), width, height,
+        backgrounds=jnp.full((n_images, 3), 0.78),
+    )
+    imgs = np.clip(np.asarray(imgs), 0, 1)
+    onehot = np.zeros((n, n_dominoes), np.float32)
+    fg = labels > 0
+    onehot[fg, labels[fg] - 1] = 1.0
+    fmap, falpha, _ = rasterization(
+        j(means), j(quats), j(scales), j(opac), j(onehot),
+        j(viewmats), j(Ks), width, height, sh_degree=None,
+    )
+    fmap = np.asarray(fmap)
+    masks = np.where(
+        fmap.max(axis=-1) > 0.35, fmap.argmax(axis=-1) + 1, 0
+    ).astype(np.int32)
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    os.makedirs(os.path.join(root, "masks", "instance_ids_npy"), exist_ok=True)
+    for i, name in enumerate(image_names):
+        Image.fromarray((imgs[i] * 255).astype(np.uint8)).save(
+            os.path.join(root, "images", name)
+        )
+        stem = os.path.splitext(name)[0]
+        np.save(
+            os.path.join(root, "masks", "instance_ids_npy",
+                         f"{stem}_instance_id.npy"),
+            masks[i],
+        )
+    # SFM points: subsample GT gaussians (what COLMAP triangulation yields)
+    sel = rng.choice(n, size=min(n, 4000), replace=False)
+    _write_colmap_sparse(
+        os.path.join(root, "sparse", "0"), width, height, f,
+        viewmats, image_names, means[sel], cols[sel],
+    )
+    return {
+        "means": means, "quats": quats, "scales": scales,
+        "opacities": opac, "colors": cols, "labels": labels,
+        "viewmats": viewmats, "Ks": Ks, "images": imgs, "masks": masks,
+        "half_extents": np.array([hx, hy, hz], np.float32),
+        "spacing": spacing,
+    }
+
+
 def make_colmap_test_scene(root, n_images=8, width=64, height=48,
                            n_pts=120, seed=7):
     """Write a synthetic COLMAP scene (sparse/0 bin files + images) whose
