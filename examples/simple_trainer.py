@@ -98,6 +98,18 @@ def main():
     print(json.dumps(out["history"][-3:]))
     stats = runner.eval(cfg.max_steps)
     print(json.dumps(stats))
+    if runner.viewer is not None:
+        # keep the live viewer up after training (reference
+        # simple_trainer.py:1646-1650 "Ctrl+C to exit")
+        print(f"viewer still running at http://localhost:{cfg.viewer_port} "
+              "— Ctrl+C to exit")
+        import time
+
+        try:
+            while True:
+                time.sleep(3600)
+        except KeyboardInterrupt:
+            pass
 
 
 if __name__ == "__main__":

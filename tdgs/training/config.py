@@ -112,6 +112,12 @@ class Config:
     seg_spatial_every: int = 500
     seg_spatial_weight: float = 0.1
 
+    # live viewer (reference simple_trainer.py:690,1286 — the HTTP orbit
+    # viewer attached to the training loop via a lock; default off for
+    # headless/CI runs)
+    disable_viewer: bool = True
+    viewer_port: int = 8080
+
     # misc
     seed: int = 42
     tb_every: int = 100

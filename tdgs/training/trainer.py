@@ -210,6 +210,24 @@ class Runner:
             ),
         )
 
+        # live viewer attached to the training loop via a lock
+        # (reference simple_trainer.py:690,1286 + gsplat_viewer.py knobs)
+        import threading
+
+        self.viewer_lock = threading.Lock()
+        self.viewer = None
+        if not cfg.disable_viewer:
+            from tdgs.viewer import ViewerServer
+
+            center = self.parser.camtoworlds[:, :3, 3].mean(axis=0)
+            self.viewer = ViewerServer(
+                self._viewer_render_fn,
+                port=cfg.viewer_port,
+                target=center,
+            )
+            self.viewer.start()
+            print(f"live viewer at http://localhost:{cfg.viewer_port}")
+
     # ------------------------------------------------------------------
     def _init_splats(self, key) -> G.SplatParams:
         cfg = self.cfg
@@ -327,6 +345,59 @@ class Runner:
             backgrounds=backgrounds,
             render_mode=render_mode,
         )
+
+    # ------------------------------------------------------------------
+    def _viewer_render_fn(self, viewmat, K, width, height, st):
+        """Live render for the attached viewer (reference
+        Runner._viewer_render_fn:1480-1518, knob set from
+        gsplat_viewer.py:GsplatRenderTabState:8-32). Grabs the current
+        splats under the training lock, honors the render-tab overrides
+        (sh degree, near/far, radius_clip, eps2d, render mode)."""
+        cfg = self.cfg
+        mode = {"rgb": "RGB", "depth": "ED", "alpha": "RGB"}[st.render_mode]
+        # the whole render (incl. the device→host readback) runs under the
+        # training lock: the train step donates the splat buffers
+        # (donate_argnums), so a render against a captured reference would
+        # read donated memory once the next step commits
+        with self.viewer_lock:
+            means, quats, scales, opacities, sh = G.splat_activations(
+                self.splats
+            )
+            img, alpha, _ = rasterization(
+                means, quats, scales, opacities, sh,
+                jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
+                width, height,
+                sh_degree=min(st.max_sh_degree, cfg.sh_degree),
+                near_plane=st.near_plane, far_plane=st.far_plane,
+                radius_clip=st.radius_clip, eps2d=st.eps2d,
+                render_mode=mode,
+                rasterizer=(
+                    "packed_inference" if jax.default_backend() == "tpu"
+                    else "jax"
+                ),
+                tile_capacity=cfg.tile_capacity,
+                isect_capacity=cfg.isect_capacity,
+                backgrounds=jnp.asarray(
+                    np.array(st.backgrounds, np.float32)
+                )[None] if st.render_mode == "rgb" else None,
+            )
+            img = np.asarray(img)
+            alpha = np.asarray(alpha)
+        if st.render_mode == "depth":
+            d = np.asarray(img[0, ..., 0])
+            lo, hi = (
+                np.percentile(d[d > 0], [2, 98]) if (d > 0).any() else (0, 1)
+            )
+            d = np.clip((d - lo) / max(hi - lo, 1e-6), 0, 1)
+            if st.inverse_depth:
+                d = 1.0 - d
+            out = np.stack([d, d, d], -1)
+        elif st.render_mode == "alpha":
+            a = np.asarray(alpha[0, ..., 0])
+            out = np.stack([a, a, a], -1)
+        else:
+            out = np.asarray(img[0, ..., :3])
+        return (np.clip(out, 0, 1) * 255).astype(np.uint8)
 
     # ------------------------------------------------------------------
     def _train_step_impl(
@@ -674,32 +745,36 @@ class Runner:
 
             for k, lr in self.aux_lrs.items():
                 lr_dict[f"aux_{k}"] = jnp.float32(lr)
-            (self.splats, self.opt_state, self.seg_head, self.seg_opt_state,
-             self.aux_params, self.aux_opt_state, loss, aux) = self._train_step(
-                self.splats, self.opt_state, self.seg_head, self.seg_opt_state,
-                self.aux_params, self.aux_opt_state,
-                batch, lr_dict, k_step,
-                sh_degree=sh_degree, use_means2d_tap=use_tap,
-                use_absgrad=use_absgrad,
-                use_seg_loss=use_seg, use_spatial_reg=use_spatial,
-            )
+            # the viewer lock keeps live-view renders consistent with the
+            # in-flight parameter update (reference simple_trainer.py:690)
+            with self.viewer_lock:
+                (self.splats, self.opt_state, self.seg_head,
+                 self.seg_opt_state, self.aux_params, self.aux_opt_state,
+                 loss, aux) = self._train_step(
+                    self.splats, self.opt_state, self.seg_head,
+                    self.seg_opt_state, self.aux_params, self.aux_opt_state,
+                    batch, lr_dict, k_step,
+                    sh_degree=sh_degree, use_means2d_tap=use_tap,
+                    use_absgrad=use_absgrad,
+                    use_seg_loss=use_seg, use_spatial_reg=use_spatial,
+                )
 
-            info = {
-                "radii": aux["radii"],
-                "width": batch["image"].shape[2],
-                "height": batch["image"].shape[1],
-            }
-            if use_tap:
-                self.strategy_state = self.strategy.update_state(
-                    self.strategy_state, info, aux["v_means2d"]
+                info = {
+                    "radii": aux["radii"],
+                    "width": batch["image"].shape[2],
+                    "height": batch["image"].shape[1],
+                }
+                if use_tap:
+                    self.strategy_state = self.strategy.update_state(
+                        self.strategy_state, info, aux["v_means2d"]
+                    )
+                self.splats, self.opt_state, self.strategy_state = (
+                    self.strategy.step_post_backward(
+                        self.splats, self.opt_state, self.strategy_state,
+                        step, info, k_strat,
+                        lr=float(lr_dict["means"]),
+                    )
                 )
-            self.splats, self.opt_state, self.strategy_state = (
-                self.strategy.step_post_backward(
-                    self.splats, self.opt_state, self.strategy_state, step,
-                    info, k_strat,
-                    lr=float(lr_dict["means"]),
-                )
-            )
 
             if step % cfg.tb_every == 0 or step == max_steps:
                 history.append({"step": step, "loss": float(loss)})

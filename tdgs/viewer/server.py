@@ -140,12 +140,22 @@ class ViewerServer:
                     self.end_headers()
                     self.wfile.write(body)
                 elif u.path == "/render":
-                    q = {k: v[0] for k, v in parse_qs(u.query).items()}
-                    img = outer._render(q)
-                    from PIL import Image
+                    try:
+                        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+                        img = outer._render(q)
+                        from PIL import Image
 
-                    buf = io.BytesIO()
-                    Image.fromarray(img).save(buf, "JPEG", quality=90)
+                        buf = io.BytesIO()
+                        Image.fromarray(img).save(buf, "JPEG", quality=90)
+                    except Exception:
+                        import traceback
+
+                        body = traceback.format_exc().encode()
+                        self.send_response(500)
+                        self.send_header("Content-Type", "text/plain")
+                        self.end_headers()
+                        self.wfile.write(body)
+                        return
                     self.send_response(200)
                     self.send_header("Content-Type", "image/jpeg")
                     self.end_headers()
@@ -160,22 +170,27 @@ class ViewerServer:
         st = self.state
         st.render_mode = q.get("mode", st.render_mode)
         st.max_sh_degree = int(q.get("sh", st.max_sh_degree))
+        # resolution override (nerfview's max-img-res knob); keeps a stable
+        # shape across requests so the render jit-caches
+        width = max(16, min(int(q.get("w", self.width)), 4096))
+        height = max(16, min(int(q.get("h", self.height)), 4096))
         vm = orbit_camera(
             float(q.get("az", 0)), float(q.get("el", 0.3)),
             float(q.get("dist", 6)), self.target
             + np.array([float(q.get("tx", 0)), float(q.get("ty", 0)),
                         float(q.get("tz", 0))], np.float32),
         )
+        f = self.focal * width / self.width
         K = np.array(
             [
-                [self.focal, 0, self.width / 2],
-                [0, self.focal, self.height / 2],
+                [f, 0, width / 2],
+                [0, f, height / 2],
                 [0, 0, 1],
             ],
             np.float32,
         )
         with self.lock:  # render serially (shared device)
-            img = self.render_fn(vm, K, self.width, self.height, st)
+            img = self.render_fn(vm, K, width, height, st)
         return np.ascontiguousarray(img)
 
     def serve_forever(self):

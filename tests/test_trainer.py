@@ -160,6 +160,61 @@ def test_trainer_2dgs_variant(tmp_path):
     assert stats["psnr"] > 12.0, stats
 
 
+def test_trainer_live_viewer(tmp_path):
+    """Live viewer attached to the training loop (reference
+    simple_trainer.py:690,1286): frames must be servable over HTTP while
+    training runs, with render-tab knob overrides applied."""
+    import threading
+    import urllib.request
+
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=25,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        sh_degree_interval=20,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=10,
+        rasterizer="jax",
+        disable_viewer=False,
+        viewer_port=18734,
+    )
+    runner = Runner(cfg)
+    assert runner.viewer is not None
+    results = {}
+
+    def poll():
+        try:
+            for mode in ("rgb", "depth", "alpha"):
+                url = (f"http://localhost:18734/render?dist=5&mode={mode}"
+                       f"&sh=1&w=96&h=64")
+                with urllib.request.urlopen(url, timeout=300) as r:
+                    results[mode] = (r.status, r.read(2048))
+        except urllib.error.HTTPError as e:  # surfaced via the assert below
+            results["error"] = e.read()[:2000].decode(errors="replace")
+        except Exception as e:
+            results["error"] = repr(e)
+
+    th = threading.Thread(target=poll)
+    th.start()
+    runner.train()
+    th.join(timeout=180)
+    runner.viewer.shutdown()
+    assert "error" not in results, results
+    for mode in ("rgb", "depth", "alpha"):
+        status, head = results[mode]
+        assert status == 200
+        assert head[:2] == b"\xff\xd8", f"{mode}: not a JPEG"  # JPEG magic
+
+
 def test_trainer_pose_opt_and_bilagrid(tmp_path):
     """Pose optimization + bilateral grid wired into the train step."""
     render_target_scene(str(tmp_path / "scene"))
