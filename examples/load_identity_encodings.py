@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--method", choices=["kmeans", "dbscan"], default="kmeans")
     ap.add_argument("--target-clusters", type=int, default=3)
     ap.add_argument("--outlier-percentile", type=float, default=95.0)
+    ap.add_argument("--plots", action="store_true",
+                    help="save t-SNE scatter + PCA identity-map PNGs next "
+                    "to --out (reference :344-360, :494-533)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -96,6 +99,21 @@ def main():
 
     save_cluster_groups(args.out, res)
     print(f"saved {args.out}")
+
+    if args.plots:
+        from tdgs.segmentation.visualize import save_identity_map, tsne_plot
+
+        stem = os.path.splitext(args.out)[0]
+        feats_for_plot = (
+            np.asarray(apply_segmentation_head(
+                {k: jnp.asarray(v) for k, v in head.items()}, enc
+            )) if head is not None else enc
+        )
+        print("saved", tsne_plot(feats_for_plot, res["labels"],
+                                 f"{stem}_tsne.png"))
+        if args.method == "kmeans":
+            print("saved", save_identity_map(np.asarray(fmap[0]),
+                                             f"{stem}_identity_map.png"))
 
 
 if __name__ == "__main__":

@@ -145,3 +145,33 @@ def test_kmeans_identity_pipeline(tmp_path):
     save_cluster_groups(str(tmp_path / "groups.npz"), res)
     groups = load_cluster_groups(str(tmp_path / "groups.npz"))
     assert sum(len(v) for v in groups.values()) == N
+
+
+def test_visualization_exports(tmp_path):
+    """t-SNE/PCA cluster plots + identity-map RGB + depth colormap
+    (reference load_identity_encodings.py:494-533, visualize.py)."""
+    from tdgs.segmentation.visualize import (
+        save_depth_as_image,
+        save_identity_map,
+        tsne_plot,
+    )
+
+    rng = np.random.default_rng(0)
+    enc = rng.normal(size=(300, 16)).astype(np.float32)
+    labels = np.concatenate([np.full(100, -1), np.repeat([0, 1], 100)])
+    p1 = tsne_plot(enc, labels, str(tmp_path / "tsne.png"), subsample=200)
+    assert (tmp_path / "tsne.png").stat().st_size > 1000, p1
+
+    fmap = rng.normal(size=(24, 32, 16)).astype(np.float32)
+    p2 = save_identity_map(fmap, str(tmp_path / "idmap.png"))
+    assert (tmp_path / "idmap.png").stat().st_size > 100, p2
+
+    depth = np.zeros((24, 32), np.float32)
+    depth[4:20, 4:28] = np.linspace(1, 5, 16)[:, None]
+    p3 = save_depth_as_image(depth, str(tmp_path / "depth.png"))
+    assert (tmp_path / "depth.png").stat().st_size > 100, p3
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(tmp_path / "depth.png"))
+    assert (img[0, 0] == 0).all()  # invalid pixels get invalid_color
