@@ -130,6 +130,30 @@ def main():
         np.asarray(fn2(*args))
         fps_2dgs = n_frames / (time.perf_counter() - t0)
 
+    # eval3d (world-space / 3DGUT) fast path at the same scale.
+    def render_frames_eval3d(means, quats, scales, opacities, sh,
+                             viewmats, Ks):
+        def frame(carry, i):
+            img, alpha, _ = rasterization(
+                means, quats, scales,
+                opacities * (1.0 + 1e-5 * i.astype(jnp.float32)),
+                sh, viewmats, Ks, WIDTH, HEIGHT,
+                sh_degree=3, tile_capacity=1024, max_tiles_per_gauss=16,
+                isect_capacity=1_310_720, rasterizer="eval3d_packed",
+            )
+            return carry + img.mean(), None
+
+        acc, _ = jax.lax.scan(frame, jnp.zeros(()), jnp.arange(n_frames))
+        return acc
+
+    fps_eval3d = 0.0
+    if use_pallas:
+        fn3 = jax.jit(render_frames_eval3d)
+        np.asarray(fn3(*args))
+        t0 = time.perf_counter()
+        np.asarray(fn3(*args))
+        fps_eval3d = n_frames / (time.perf_counter() - t0)
+
     # Training-path fps: full forward+backward through the differentiable
     # packed rasterizers (grad w.r.t. all splat params), per frame.
     def make_train_bench(model):
@@ -212,6 +236,7 @@ def main():
                 "physics_hz": round(hz, 1),
                 "physics_vs_baseline": round(hz / 240.0, 2),
                 "render_2dgs_fps": round(fps_2dgs, 2),
+                "render_eval3d_fps": round(fps_eval3d, 2),
                 "render_train_fps": round(fps_train, 2),
                 "render_2dgs_train_fps": round(fps_2dgs_train, 2),
             }

@@ -62,7 +62,10 @@ def main():
         for k, v in stats.items():
             summary[k].append(v)
 
-    out = {k: float(np.mean(v)) for k, v in summary.items()}
+    out = {
+        k: (float(np.mean(v)) if isinstance(v[0], (int, float)) else v[0])
+        for k, v in summary.items()
+    }
     out["scenes"] = args.scenes
     path = os.path.join(args.results_dir, f"{args.stage}_summary.json")
     with open(path, "w") as f:

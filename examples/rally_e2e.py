@@ -84,6 +84,12 @@ def main():
         save_steps=[steps],
         ply_steps=[],
         init_type="sfm",
+        # the reference's mcmc preset hypers (simple_trainer.py:1597-1618):
+        # opacity/scale regularizers keep the MCMC dynamics stable
+        init_opa=0.5,
+        init_scale=0.1,
+        opacity_reg=0.01,
+        scale_reg=0.01,
         sh_degree=3,
         sh_degree_interval=max(steps // 4, 1),
         strategy=MCMCStrategy(

@@ -29,6 +29,10 @@ def main():
                     help="synthetic scene replication when no --ply")
     ap.add_argument("--distributed", action="store_true",
                     help="render through the sharded multi-device path")
+    ap.add_argument("--model-type", choices=["3dgs", "2dgs", "3dgut"],
+                    default="3dgs",
+                    help="render family (reference simple_viewer.py / "
+                    "simple_viewer_2dgs.py / simple_viewer_3dgut.py)")
     args = ap.parse_args()
 
     import jax
@@ -84,7 +88,7 @@ def main():
         )
         print(f"distributed smoke render OK over {D} devices:", img.shape)
 
-    render_fn = make_splat_render_fn(splats)
+    render_fn = make_splat_render_fn(splats, model_type=args.model_type)
     viewer = ViewerServer(
         render_fn, width=args.width, height=args.height, port=args.port,
         target=target,

@@ -217,6 +217,7 @@ def rasterization(
         colors_cn = depths[..., None]
         if backgrounds is not None:
             backgrounds = jnp.zeros(batch_dims + (C, 1), backgrounds.dtype)
+    D = colors_cn.shape[-1]  # depth channels included
 
     # Tile intersection + global (tile, depth) sort. Not differentiated:
     # the sort order and offsets are integer plumbing.
@@ -289,6 +290,88 @@ def rasterization(
                 [
                     render_colors[..., :-1],
                     render_colors[..., -1:] / jnp.maximum(render_alphas, 1e-10),
+                ],
+                axis=-1,
+            )
+        return render_colors, render_alphas, meta
+
+    if rasterizer == "eval3d_packed":
+        # world-space rasterization on the streaming Pallas kernel
+        # (forward-only fast path of the eval3d branch below)
+        from tdgs.ops.camera_models import RollingShutterType
+        from tdgs.ops.rasterize_eval3d_pallas import (
+            rasterize_to_pixels_eval3d_packed_inference,
+        )
+        from tdgs.ops.tiling import isect_tiles_packed
+
+        assert not batch_dims, "eval3d supports unbatched [N] gaussians"
+        assert quats is not None, "eval3d requires quats/scales (not covars)"
+        assert means2d_abs_tap is None, "absgrad: use the 'packed'/'jax' path"
+        isect_p = isect_tiles_packed(
+            jax.lax.stop_gradient(means2d),
+            radii,
+            jax.lax.stop_gradient(depths),
+            tile_size, tile_width, tile_height,
+            max_tiles_per_gauss=max_tiles_per_gauss,
+            capacity=isect_capacity,
+        )
+        meta.update(
+            {
+                "tile_width": tile_width,
+                "tile_height": tile_height,
+                "isect_ids": isect_p.isect_keys,
+                "flatten_ids": isect_p.flatten_ids,
+                "isect_offsets": isect_p.offsets,
+                "n_isects": isect_p.n_isects,
+                "n_dropped": isect_p.n_dropped,
+                "width": width,
+                "height": height,
+                "tile_size": tile_size,
+                "n_batches": B,
+                "n_cameras": C,
+            }
+        )
+        render_colors, render_alphas = (
+            rasterize_to_pixels_eval3d_packed_inference(
+                means, quats, scales,
+                colors_cn.reshape(I, N, D),
+                opacities_cn.reshape(I, N),
+                viewmats.reshape(I, 4, 4),
+                Ks.reshape(I, 3, 3),
+                width, height, tile_size,
+                isect_p.offsets, isect_p.flatten_ids,
+                camera_model=camera_model,
+                radial_coeffs=radial_coeffs,
+                tangential_coeffs=tangential_coeffs,
+                thin_prism_coeffs=thin_prism_coeffs,
+                ftheta_coeffs=ftheta_coeffs,
+                backgrounds=(
+                    backgrounds.reshape(I, -1)
+                    if backgrounds is not None else None
+                ),
+                tile_capacity=tile_capacity,
+                rolling_shutter=(
+                    rolling_shutter if rolling_shutter is not None
+                    else RollingShutterType.GLOBAL
+                ),
+                viewmats_rs=(
+                    viewmats_rs.reshape(I, 4, 4)
+                    if viewmats_rs is not None else None
+                ),
+            )
+        )
+        render_colors = render_colors.reshape(
+            batch_dims + (C, height, width, D)
+        )
+        render_alphas = render_alphas.reshape(
+            batch_dims + (C, height, width, 1)
+        )
+        if render_mode in ("ED", "RGB+ED"):
+            render_colors = jnp.concatenate(
+                [
+                    render_colors[..., :-1],
+                    render_colors[..., -1:]
+                    / jnp.maximum(render_alphas, 1e-10),
                 ],
                 axis=-1,
             )

@@ -776,6 +776,27 @@ class Runner:
                     )
                 )
 
+            nancheck = int(os.environ.get("TDGS_NANCHECK", "0") or 0)
+            if nancheck and step % nancheck == 0:
+                # numerical sanitizer (SURVEY §5): catch a non-finite step
+                # and name the offending tensors. TDGS_NANCHECK=<cadence>
+                # (1 = every step; each check is a host sync, which costs
+                # real time through a remote-TPU tunnel)
+                if not np.isfinite(float(loss)):
+                    bad = {
+                        k: int((~np.isfinite(np.asarray(v))).sum())
+                        for k, v in self.splats.items()
+                        if not np.isfinite(np.asarray(v)).all()
+                    }
+                    terms = {
+                        k: float(v)
+                        for k, v in aux.get("loss_terms", {}).items()
+                    }
+                    raise FloatingPointError(
+                        f"non-finite loss at step {step}: terms={terms} "
+                        f"non-finite params={bad}"
+                    )
+
             if step % cfg.tb_every == 0 or step == max_steps:
                 history.append({"step": step, "loss": float(loss)})
                 # scalar dashboard (reference simple_trainer.py:1015-1036)
@@ -844,13 +865,20 @@ class Runner:
             metrics["lpips"].append(float(lpips(pred[None], gt[None])[0]))
         ellipse = (time.time() - t0) / max(len(self.valset), 1)
         out = {k: float(np.mean(v)) for k, v in metrics.items()}
+        # absolute values of the random-filter proxy are NOT comparable to
+        # AlexNet-LPIPS numbers (deltas/rankings are) — flag it in the JSON
+        out["lpips_impl"] = "random-proxy"
         out["ellipse_time"] = ellipse
         out["num_GS"] = int(
             np.asarray(G.alive_mask(self.splats)).sum()
         )
         with open(os.path.join(self.stats_dir, f"val_step{step}.json"), "w") as f:
             json.dump(out, f)
-        self.logger.log(step, {f"val/{k}": v for k, v in out.items()})
+        self.logger.log(
+            step,
+            {f"val/{k}": v for k, v in out.items()
+             if isinstance(v, (int, float))},
+        )
         return out
 
     # ------------------------------------------------------------------

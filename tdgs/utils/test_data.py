@@ -233,22 +233,35 @@ def make_domino_scene(
     Ks = np.tile(K, (n_images, 1, 1))
     image_names = [f"img_{i:03d}.png" for i in range(n_images)]
 
-    # render GT images + one-hot instance features for the masks
+    # render GT images + one-hot instance features for the masks.
+    # One camera per call: the jnp oracle rasterizer materializes
+    # [tiles, pixels, tile_capacity] — all 32 views in one call is ~23 GB
+    # on the default capacities (OOMs a 16 GB chip); per-view it's ~700 MB.
     j = jnp.asarray
-    imgs, _, _ = rasterization(
-        j(means), j(quats), j(scales), j(opac), j(cols),
-        j(viewmats), j(Ks), width, height,
-        backgrounds=jnp.full((n_images, 3), 0.78),
+    raster = (
+        "packed_inference" if jax.default_backend() == "tpu" else "jax"
     )
-    imgs = np.clip(np.asarray(imgs), 0, 1)
     onehot = np.zeros((n, n_dominoes), np.float32)
     fg = labels > 0
     onehot[fg, labels[fg] - 1] = 1.0
-    fmap, falpha, _ = rasterization(
-        j(means), j(quats), j(scales), j(opac), j(onehot),
-        j(viewmats), j(Ks), width, height, sh_degree=None,
-    )
-    fmap = np.asarray(fmap)
+
+    imgs_l, fmap_l = [], []
+    for i in range(n_images):
+        im, _, _ = rasterization(
+            j(means), j(quats), j(scales), j(opac), j(cols),
+            j(viewmats[i : i + 1]), j(Ks[i : i + 1]), width, height,
+            backgrounds=jnp.full((1, 3), 0.78),
+            rasterizer=raster, tile_capacity=512,
+        )
+        fm, _, _ = rasterization(
+            j(means), j(quats), j(scales), j(opac), j(onehot),
+            j(viewmats[i : i + 1]), j(Ks[i : i + 1]), width, height,
+            sh_degree=None, rasterizer=raster, tile_capacity=512,
+        )
+        imgs_l.append(np.asarray(im[0]))
+        fmap_l.append(np.asarray(fm[0]))
+    imgs = np.clip(np.stack(imgs_l), 0, 1)
+    fmap = np.stack(fmap_l)
     masks = np.where(
         fmap.max(axis=-1) > 0.35, fmap.argmax(axis=-1) + 1, 0
     ).astype(np.int32)

@@ -206,33 +206,66 @@ class ViewerServer:
         self.httpd.shutdown()
 
 
-def make_splat_render_fn(splats, rasterizer: str = "auto"):
+def make_splat_render_fn(splats, rasterizer: str = "auto",
+                         model_type: str = "3dgs"):
     """Standard render_fn over a raw splat dict (viewer counterpart of
-    Runner._viewer_render_fn, simple_trainer.py:1480-1518)."""
+    Runner._viewer_render_fn, simple_trainer.py:1480-1518).
+
+    ``model_type`` selects the render family, mirroring the reference's
+    viewer variants: "3dgs" (simple_viewer.py), "2dgs" (surfel model,
+    simple_viewer_2dgs.py), "3dgut" (world-space eval3d rasterization,
+    simple_viewer_3dgut.py)."""
     import jax
     import jax.numpy as jnp
 
-    from tdgs.rendering import rasterization
+    from tdgs.rendering import rasterization, rasterization_2dgs
 
     sh = jnp.concatenate([splats["sh0"], splats["shN"]], axis=-2)
+    on_tpu = jax.default_backend() == "tpu"
 
     def render_fn(viewmat, K, width, height, st: RenderTabState):
         mode = {"rgb": "RGB", "depth": "RGB+ED", "alpha": "RGB"}[st.render_mode]
-        img, alpha, _ = rasterization(
+        common = dict(
+            sh_degree=min(st.max_sh_degree, 3),
+            near_plane=st.near_plane, far_plane=st.far_plane,
+            render_mode=mode,
+            backgrounds=jnp.asarray(
+                np.array(st.backgrounds, np.float32)
+            )[None],
+        )
+        activations = (
             splats["means"], splats["quats"], jnp.exp(splats["scales"]),
             jax.nn.sigmoid(splats["opacities"]), sh,
             jnp.asarray(viewmat)[None], jnp.asarray(K)[None], width, height,
-            sh_degree=min(st.max_sh_degree, 3),
-            near_plane=st.near_plane, far_plane=st.far_plane,
-            radius_clip=st.radius_clip, eps2d=st.eps2d,
-            render_mode=mode,
-            rasterizer=(
-                "packed_inference" if jax.default_backend() == "tpu"
-                else "jax"
-            )
-            if rasterizer == "auto" else rasterizer,
-            backgrounds=jnp.asarray(np.array(st.backgrounds, np.float32))[None],
         )
+        if model_type == "2dgs":
+            out2 = rasterization_2dgs(
+                *activations,
+                radius_clip=st.radius_clip,
+                rasterizer=(
+                    "packed_inference" if on_tpu else "jax"
+                ) if rasterizer == "auto" else rasterizer,
+                **common,
+            )
+            img, alpha = out2[0], out2[1]
+        elif model_type == "3dgut":
+            img, alpha, _ = rasterization(
+                *activations,
+                radius_clip=st.radius_clip, eps2d=st.eps2d,
+                rasterizer=(
+                    "eval3d_packed" if on_tpu else "eval3d"
+                ) if rasterizer == "auto" else rasterizer,
+                **common,
+            )
+        else:
+            img, alpha, _ = rasterization(
+                *activations,
+                radius_clip=st.radius_clip, eps2d=st.eps2d,
+                rasterizer=(
+                    "packed_inference" if on_tpu else "jax"
+                ) if rasterizer == "auto" else rasterizer,
+                **common,
+            )
         out = np.asarray(img[0])
         if st.render_mode == "depth":
             d = out[..., -1]

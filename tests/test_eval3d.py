@@ -252,3 +252,52 @@ def test_eval3d_rolling_shutter_blends_poses():
     assert np.abs(a[0, -1] - e[0, -1]).max() < 2e-2
     # and the RS frame genuinely differs from both single-pose renders
     assert np.abs(a - s).mean() > 1e-3 and np.abs(a - e).mean() > 1e-3
+
+
+@pytest.mark.parametrize("case", ["pinhole", "fisheye_ut", "rolling_shutter"])
+def test_eval3d_packed_kernel_parity(case):
+    """The streaming Pallas eval3d kernel (interpret mode on CPU) must match
+    the differentiable jnp path on the same sorted entries."""
+    from tdgs.ops.camera_models import RollingShutterType
+
+    rng = np.random.default_rng(216)
+    means, quats, scales, opac, colors, viewmats = make_scene(rng, N=40)
+    width, height = 96, 64
+    common = dict(tile_capacity=256, max_tiles_per_gauss=16, eps2d=0.0)
+    kwargs = {}
+    if case == "fisheye_ut":
+        kwargs = dict(
+            with_ut=True, camera_model="fisheye",
+            radial_coeffs=jnp.asarray(
+                np.array([[0.05, -0.02, 0.0, 0.0]], np.float32)
+            ),
+        )
+    elif case == "rolling_shutter":
+        vm_end = viewmats.copy()
+        vm_end[0, 0, 3] += 0.3
+        kwargs = dict(
+            with_ut=True,
+            rolling_shutter=RollingShutterType.TOP_TO_BOTTOM,
+            viewmats_rs=jnp.asarray(vm_end),
+        )
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(K), width, height,
+    )
+    img_ref, alp_ref, _ = rasterization(
+        *args, rasterizer="eval3d", **common, **kwargs,
+    )
+    img_k, alp_k, meta = rasterization(
+        *args, rasterizer="eval3d_packed", **common, **kwargs,
+    )
+    assert int(meta["n_dropped"]) == 0
+    assert np.asarray(alp_ref).max() > 0.2  # scene covers pixels
+    # same math, different entry order (packed keys quantize depth) and
+    # different reduction order → small f32 differences
+    np.testing.assert_allclose(
+        np.asarray(img_k), np.asarray(img_ref), atol=5e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(alp_k), np.asarray(alp_ref), atol=5e-3
+    )

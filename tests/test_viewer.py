@@ -1,0 +1,62 @@
+"""Viewer server + render-fn tests (reference examples/gsplat_viewer*.py,
+simple_viewer*.py variants)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tdgs.viewer.server import (
+    RenderTabState,
+    ViewerServer,
+    make_splat_render_fn,
+    orbit_camera,
+)
+
+
+def _splats(n=64, seed=5):
+    rng = np.random.default_rng(seed)
+    return {
+        "means": jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+        "quats": jnp.asarray(rng.normal(size=(n, 4)).astype(np.float32)),
+        "scales": jnp.asarray(
+            np.log(rng.uniform(0.05, 0.2, size=(n, 3))).astype(np.float32)
+        ),
+        "opacities": jnp.asarray(rng.normal(size=(n,)).astype(np.float32)),
+        "sh0": jnp.asarray(rng.normal(size=(n, 1, 3)).astype(np.float32)),
+        "shN": jnp.zeros((n, 15, 3), jnp.float32),
+    }
+
+
+@pytest.mark.parametrize("model_type", ["3dgs", "2dgs", "3dgut"])
+@pytest.mark.parametrize("mode", ["rgb", "depth", "alpha"])
+def test_render_fn_model_types(model_type, mode):
+    """All three viewer families (reference simple_viewer{,_2dgs,_3dgut}.py)
+    must produce finite uint8 frames for every render-tab mode."""
+    render_fn = make_splat_render_fn(_splats(), model_type=model_type)
+    vm = orbit_camera(0.4, 0.3, 4.0, np.zeros(3, np.float32))
+    K = np.array([[80.0, 0, 48], [0, 80.0, 32], [0, 0, 1]], np.float32)
+    img = render_fn(vm, K, 96, 64, RenderTabState(render_mode=mode))
+    assert img.shape == (64, 96, 3) and img.dtype == np.uint8
+    assert img.max() > 0  # the scene is visible
+
+
+def test_viewer_http_roundtrip():
+    """ViewerServer serves the page + frames with knob query params."""
+    import urllib.request
+
+    render_fn = make_splat_render_fn(_splats())
+    viewer = ViewerServer(render_fn, port=18741, width=96, height=64)
+    th = viewer.start()
+    try:
+        with urllib.request.urlopen(
+            "http://localhost:18741/", timeout=60
+        ) as r:
+            assert r.status == 200 and b"tdgs viewer" in r.read(4096)
+        url = ("http://localhost:18741/render?dist=4&mode=rgb&sh=2"
+               "&w=64&h=48&az=0.3&el=0.2")
+        with urllib.request.urlopen(url, timeout=120) as r:
+            head = r.read(2)
+            assert r.status == 200 and head == b"\xff\xd8"
+    finally:
+        viewer.shutdown()
+        th.join(timeout=10)
