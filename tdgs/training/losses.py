@@ -35,14 +35,25 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
 
 
 def _filter2d_separable(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Depthwise separable 2D filter. img: [B, H, W, C] → valid conv."""
+    """Depthwise separable 2D filter. img: [B, H, W, C] → valid conv.
+
+    precision=HIGHEST is load-bearing: TPU convs default to bf16 MXU
+    passes, whose ~2^-8 relative error on E[x²] makes the SSIM variance
+    E[x²]−E[x]² come out as low as −5e-3 on flat image regions — below
+    −c2, so the SSIM denominator crosses zero and the loss emits ±inf
+    (observed as rgbloss=-inf → corrupted params in MCMC training runs).
+    """
     B, H, W, C = img.shape
     k = window.shape[0]
     x = img.transpose(0, 3, 1, 2).reshape(B * C, 1, H, W)
     kern_h = window.reshape(1, 1, k, 1)
     kern_w = window.reshape(1, 1, 1, k)
-    x = jax.lax.conv_general_dilated(x, kern_h, (1, 1), "VALID")
-    x = jax.lax.conv_general_dilated(x, kern_w, (1, 1), "VALID")
+    x = jax.lax.conv_general_dilated(
+        x, kern_h, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kern_w, (1, 1), "VALID", precision=jax.lax.Precision.HIGHEST
+    )
     Ho, Wo = x.shape[-2:]
     return x.reshape(B, C, Ho, Wo).transpose(0, 2, 3, 1)
 
@@ -68,8 +79,10 @@ def ssim(
     mu_tt = _filter2d_separable(t * t, win)
     mu_pt = _filter2d_separable(p * t, win)
 
-    var_p = mu_pp - mu_p**2
-    var_t = mu_tt - mu_t**2
+    # clamp: true variance is ≥ 0; f32 cancellation on flat regions can
+    # leave a small negative residue that would destabilize the ratio
+    var_p = jnp.maximum(mu_pp - mu_p**2, 0.0)
+    var_t = jnp.maximum(mu_tt - mu_t**2, 0.0)
     cov = mu_pt - mu_p * mu_t
 
     c1 = (0.01 * max_val) ** 2

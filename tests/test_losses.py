@@ -73,3 +73,36 @@ def test_lpips_metric_properties():
     assert d0 < 1e-6
     assert d0 < d1 < d2
     assert float(lpips(img, jnp.clip(img + 0.2 * noise, 0, 1))[0]) == d2
+
+
+def test_ssim_flat_regions_stay_finite():
+    """Regression: on TPU the SSIM convs must run at f32 precision (bf16 MXU
+    default) and variances must be clamped ≥ 0 — otherwise E[x²]−E[x]² comes
+    out ≈ −5e-3 on flat regions, the denominator (var_p+var_t+c2) crosses
+    zero, and the photometric loss emits ±inf (corrupting training). Flat
+    gray + near-flat renders reproduce the failing regime; grads must be
+    finite too."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    # flat 0.78-gray target (the domino scene background) + near-flat pred
+    t = jnp.full((1, 64, 64, 3), 0.78, jnp.float32)
+    p = t + jnp.asarray(
+        rng.normal(scale=1e-4, size=(1, 64, 64, 3)).astype(np.float32)
+    )
+    s = float(L.ssim(p, t))
+    assert np.isfinite(s) and 0.99 < s <= 1.0001
+
+    loss, grad = jax.value_and_grad(
+        lambda x: L.d_ssim_l1_loss(x, t)
+    )(p)
+    assert np.isfinite(float(loss))
+    assert bool(jnp.isfinite(grad).all())
+
+    # clamp path: inject a filter whose variance estimate is negative
+    mu = L._filter2d_separable(p, L._gaussian_window(11, 1.5))
+    var = jnp.maximum(
+        L._filter2d_separable(p * p, L._gaussian_window(11, 1.5)) - mu**2,
+        0.0,
+    )
+    assert float(var.min()) >= 0.0
