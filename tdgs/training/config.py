@@ -67,6 +67,11 @@ class Config:
     # losses
     ssim_lambda: float = 0.2
     random_bkgd: bool = False
+    # constant compositing background for train/eval renders, for datasets
+    # whose GT images have a known flat backdrop (e.g. the procedural
+    # domino scene). Without it the model must fabricate huge flat splats
+    # to explain the backdrop. None → composite onto black.
+    background_color: Optional[Tuple[float, float, float]] = None
     depth_loss: bool = False
     depth_lambda: float = 1e-2
     opacity_reg: float = 0.0

@@ -412,11 +412,14 @@ class Runner:
         render_mode = "RGB+ED" if cfg.depth_loss else "RGB"
 
         k_bkgd, k_spatial, key = jax.random.split(key, 3)
-        backgrounds = (
-            jax.random.uniform(k_bkgd, (B, 3))
-            if cfg.random_bkgd
-            else None
-        )
+        if cfg.random_bkgd:
+            backgrounds = jax.random.uniform(k_bkgd, (B, 3))
+        elif cfg.background_color is not None:
+            backgrounds = jnp.broadcast_to(
+                jnp.asarray(cfg.background_color, jnp.float32), (B, 3)
+            )
+        else:
+            backgrounds = None
 
         def loss_fn(params, seg_head, aux, means2d_offset, abs_tap):
             viewmats = batch["viewmat"]
@@ -855,6 +858,10 @@ class Runner:
                 jnp.asarray(d["viewmat"])[None],
                 jnp.asarray(d["K"])[None],
                 W, H, cfg.sh_degree,
+                backgrounds=(
+                    jnp.asarray(cfg.background_color, jnp.float32)[None]
+                    if cfg.background_color is not None else None
+                ),
             )
             pred = jnp.clip(img[0], 0.0, 1.0)
             gt = jnp.asarray(d["image"])

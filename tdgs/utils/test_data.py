@@ -12,6 +12,12 @@ from typing import Tuple
 
 import numpy as np
 
+# flat backdrop the domino GT images are composited onto. Training against
+# this dataset MUST composite onto the same constant
+# (Config.background_color) — otherwise the model fabricates giant gray
+# splats to explain the backdrop and the scene degenerates.
+DOMINO_BACKGROUND = 0.78
+
 
 def load_test_data(
     device=None,
@@ -250,7 +256,7 @@ def make_domino_scene(
         im, _, _ = rasterization(
             j(means), j(quats), j(scales), j(opac), j(cols),
             j(viewmats[i : i + 1]), j(Ks[i : i + 1]), width, height,
-            backgrounds=jnp.full((1, 3), 0.78),
+            backgrounds=jnp.full((1, 3), DOMINO_BACKGROUND),
             rasterizer=raster, tile_capacity=512,
         )
         fm, _, _ = rasterization(

@@ -248,3 +248,46 @@ def test_trainer_pose_opt_and_bilagrid(tmp_path):
     # aux params actually trained
     assert np.abs(np.asarray(runner.aux_params["pose"]) - pose0).max() > 0
     assert np.abs(np.asarray(runner.aux_params["bilagrid"]) - grid0).max() > 0
+
+
+def test_trainer_background_color(tmp_path):
+    """Config.background_color composites train + eval renders onto a
+    constant backdrop (needed when the GT images have a flat background —
+    without it the model fabricates huge flat splats to explain it)."""
+    import jax.numpy as jnp
+
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=4,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        sh_degree_interval=2,
+        strategy=MCMCStrategy(cap_max=512, refine_start_iter=1000),
+        capacity=512,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        tb_every=10,
+        rasterizer="jax",
+        background_color=(0.2, 0.5, 0.9),
+    )
+    runner = Runner(cfg)
+    out = runner.train()
+    assert np.isfinite(out["history"][-1]["loss"])
+
+    # an empty-alpha view must show exactly the configured backdrop
+    d = runner.trainset[0]
+    vm = np.asarray(d["viewmat"]).copy()
+    vm[2, 3] -= 1e3  # scene behind the camera → near-plane culls all
+    img, alpha, _ = runner.rasterize_splats(
+        runner.splats, jnp.asarray(vm)[None], jnp.asarray(d["K"])[None],
+        32, 32, 1,
+        backgrounds=jnp.asarray(cfg.background_color, jnp.float32)[None],
+    )
+    assert float(np.asarray(alpha).max()) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(img[0]).reshape(-1, 3).mean(0), [0.2, 0.5, 0.9], atol=1e-3
+    )
