@@ -104,6 +104,31 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 
+    # exact-coverage tiling variant (isect_exact: no per-gaussian tile cap;
+    # what trained/big-splat scenes should use) — secondary metric.
+    def render_frames_exact(means, quats, scales, opacities, sh, viewmats, Ks):
+        def frame(carry, i):
+            img, alpha, _ = rasterization(
+                means, quats, scales,
+                opacities * (1.0 + 1e-5 * i.astype(jnp.float32)),
+                sh, viewmats, Ks, WIDTH, HEIGHT, sh_degree=3,
+                rasterizer="packed_inference" if use_pallas else "jax",
+                tile_capacity=1024, isect_exact=True,
+                isect_capacity=1_310_720,
+            )
+            return carry + img.mean(), None
+
+        acc, _ = jax.lax.scan(frame, jnp.zeros(()), jnp.arange(n_frames))
+        return acc
+
+    fps_exact = 0.0
+    if use_pallas:
+        fne = jax.jit(render_frames_exact)
+        np.asarray(fne(*args))
+        t0 = time.perf_counter()
+        np.asarray(fne(*args))
+        fps_exact = n_frames / (time.perf_counter() - t0)
+
     # 2DGS (surfel) fast path at the same scale — secondary metric.
     from tdgs.rendering import rasterization_2dgs
 
@@ -236,6 +261,7 @@ def main():
                 "physics_hz": round(hz, 1),
                 "physics_vs_baseline": round(hz / 240.0, 2),
                 "render_2dgs_fps": round(fps_2dgs, 2),
+                "render_exact_fps": round(fps_exact, 2),
                 "render_eval3d_fps": round(fps_eval3d, 2),
                 "render_train_fps": round(fps_train, 2),
                 "render_2dgs_train_fps": round(fps_2dgs_train, 2),

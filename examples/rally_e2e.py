@@ -94,6 +94,9 @@ def main():
         # fabricates giant gray splats to explain the background, which
         # blow up projected radii and wreck both quality and fps
         background_color=(DOMINO_BACKGROUND,) * 3,
+        # GT splats are ≤0.1 world units; ceiling at 2.5x that keeps the
+        # tile working set bounded without limiting expressiveness
+        max_scale=0.25,
         sh_degree=3,
         sh_degree_interval=max(steps // 4, 1),
         strategy=MCMCStrategy(
@@ -225,6 +228,10 @@ def main():
             jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
             W, H, sh_degree=cfg.sh_degree, rasterizer=rasterizer,
             backgrounds=bkgd,
+            # exact tile coverage: trained scenes have splats larger than
+            # the capped expansion handles (banding); capacities sized for
+            # ~2M intersections at 1080p
+            isect_exact=True, isect_capacity=2_097_152, tile_capacity=2048,
         )
         return img, alpha
 
@@ -247,7 +254,7 @@ def main():
     # 1080p frame OOMs a 16 GB chip, so render it in horizontal stripes
     # (principal-point shift — pinhole rays depend only on K and the
     # pixel, so stacking stripes is exact)
-    stripe_h, stripes = 135, []
+    stripe_h, stripes = 64, []
     for y0 in range(0, H, stripe_h):
         hs = min(stripe_h, H - y0)
         Ks = K.copy()
@@ -257,7 +264,9 @@ def main():
             jax.nn.sigmoid(splats["opacities"]), sh,
             jnp.asarray(viewmat)[None], jnp.asarray(Ks)[None],
             W, hs, sh_degree=cfg.sh_degree, rasterizer="jax",
-            tile_capacity=512, backgrounds=bkgd,
+            tile_capacity=2048, backgrounds=bkgd,
+            # a 64px stripe has ≤ 120·5 tiles — this K covers any splat
+            max_tiles_per_gauss=600,
         )
         stripes.append(np.asarray(img_s[0]))
     img_oracle = np.concatenate(stripes, axis=0)

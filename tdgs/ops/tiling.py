@@ -161,6 +161,7 @@ def isect_tiles_packed(
     max_tiles_per_gauss: int = 16,
     capacity: Optional[int] = None,
     sort_stable: bool = False,
+    exact: bool = False,
 ) -> IsectPacked:
     """Fast-path tile intersection: one packed int32 key, no scatter.
 
@@ -175,11 +176,23 @@ def isect_tiles_packed(
     - the sort is unstable by default (the network is still deterministic;
       ties need the same tile AND the same of ~2^18 depth buckets, and
       either order is a valid compositing order) — stable costs +40%,
-    - per-tile offsets come from a two-level sampled searchsorted,
+    - per-tile offsets come from a searchsorted over the sorted keys,
     - ``capacity`` statically truncates the *sorted* buffers (a free slice:
       sentinels sort to the end), so downstream feature gathers touch
       ``capacity`` entries instead of N·K. Real intersections beyond it are
       dropped from the highest tile ids and counted in ``n_dropped``.
+
+    ``exact=True`` switches to the **exact-coverage** expansion — the
+    reference's two-pass count/cumsum/write (IntersectTile.cu:95-113) done
+    static-shape, with NO per-gaussian tile cap: a splat covering 3000
+    tiles gets all 3000 entries (the K-cap renders only the first K tiles
+    of the bbox — horizontal-band artifacts on large splats). It costs a
+    scatter + cumsum + per-slot decode over [capacity] (~5x the capped
+    expansion at bench scale; random access is what TPUs hate), so it is
+    opt-in for scenes whose splats outgrow ``max_tiles_per_gauss``. With
+    ``exact=True``, ``max_tiles_per_gauss`` only sizes the default
+    capacity, and overflow (total demand > capacity) drops the tail in
+    gaussian-id order.
     """
     image_dims = means2d.shape[:-2]
     N = means2d.shape[-2]
@@ -218,7 +231,6 @@ def isect_tiles_packed(
     h_g = tile_maxs[..., 1] - tile_mins[..., 1]
     alive = (radii_f > 0.0).all(axis=-1)
     tiles_full = jnp.where(alive, w_g * h_g, 0)
-    tiles_capped = jnp.minimum(tiles_full, K)
 
     # depth quantization over the live range
     dmin = jnp.min(jnp.where(alive, depths_f, jnp.inf))
@@ -232,6 +244,70 @@ def isect_tiles_packed(
         depth_levels,
     )  # [I, N]
 
+    if exact:
+        # ---- exact variable-count expansion into a static [capacity]
+        # buffer. counts→cumsum gives each gaussian its slot range; ONE
+        # 4-column delta-scatter at every range start + ONE inclusive
+        # cumsum delivers (owner, range start, first-tile key, bbox width)
+        # to every slot — per-slot attribute GATHERS from the [G] tables
+        # cost ~26 ms each at this scale, the delta-scatter route ~2 ops
+        # total. Duplicate starts from zero-count gaussians are benign:
+        # their deltas stack and the cumsum lands on the true owner.
+        # NB totals are int32 — fine to ~2.1e9 demanded intersections
+        # (x64 is disabled on TPU); int32 cumsum of deltas reconstructs
+        # values exactly under two's-complement wraparound.
+        if capacity is None:
+            capacity = I * N * K
+        capacity = -(-capacity // 128) * 128  # chunk-align for the kernels
+        counts = tiles_full.reshape(-1)  # [G] = [I*N]
+        cum = jnp.cumsum(counts)
+        total = cum[-1]
+        starts = cum - counts  # exclusive prefix
+        mins_f = tile_mins.reshape(-1, 2)
+        g_ids = jnp.arange(counts.shape[0], dtype=jnp.int32)
+        first_tile = (g_ids // N) * n_tiles + mins_f[:, 1] * tile_width + mins_f[:, 0]
+        base_key = (first_tile << depth_bits) | qdepth.reshape(-1)
+        vals = jnp.stack(
+            [
+                g_ids,  # owner id
+                starts,
+                base_key,
+                w_g.reshape(-1),
+            ],
+            axis=-1,
+        )  # [G, 4]
+        deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
+        acc = (
+            jnp.zeros((capacity, 4), jnp.int32)
+            .at[starts]
+            .add(deltas, mode="drop")
+        )
+        acc = jnp.cumsum(acc, axis=0)  # step-function reconstruction
+        slot = jnp.arange(capacity, dtype=jnp.int32)
+        valid = slot < jnp.minimum(total, capacity)
+        owner = jnp.clip(acc[:, 0], 0, counts.shape[0] - 1)
+        k_in = slot - acc[:, 1]  # row-major rank inside the owner's bbox
+        w_o = jnp.maximum(acc[:, 3], 1)
+        dy = k_in // w_o
+        dx = k_in - dy * w_o
+        keys = acc[:, 2] + ((dy * tile_width + dx) << depth_bits)
+        keys = jnp.where(valid, keys, INT32_SENTINEL)
+
+        keys_s, fids_s = jax.lax.sort(
+            (keys, owner), num_keys=1, is_stable=sort_stable
+        )  # owner == image_id * N + gaussian_id == flatten id
+        n_isects = jnp.minimum(total, capacity).astype(jnp.int32)
+        n_dropped = jnp.maximum(total - capacity, 0).astype(jnp.int32)
+        return IsectPacked(
+            isect_keys=keys_s,
+            flatten_ids=fids_s,
+            offsets=_packed_offsets(keys_s, I, n_tiles, depth_bits),
+            n_isects=n_isects,
+            n_dropped=n_dropped,
+            depth_bits=depth_bits,
+        )
+
+    tiles_capped = jnp.minimum(tiles_full, K)
     k_idx = jnp.arange(K, dtype=jnp.int32)[None, None, :]
     w_safe = jnp.maximum(w_g, 1)[..., None]
     dy = k_idx // w_safe
@@ -261,6 +337,18 @@ def isect_tiles_packed(
         n_dropped = n_dropped + jnp.maximum(n_isects - capacity, 0)
         n_isects = jnp.minimum(n_isects, capacity)
 
+    return IsectPacked(
+        isect_keys=keys_s,
+        flatten_ids=fids_s,
+        offsets=_packed_offsets(keys_s, I, n_tiles, depth_bits),
+        n_isects=n_isects,
+        n_dropped=n_dropped,
+        depth_bits=depth_bits,
+    )
+
+
+def _packed_offsets(keys_s, I: int, n_tiles: int, depth_bits: int):
+    """Per-tile start offsets into the sorted packed-key buffer."""
     # boundaries computed host-side in int64 (x64 is disabled on device)
     import numpy as _np
 
@@ -273,16 +361,7 @@ def isect_tiles_packed(
     # NB: a two-level sampled searchsorted measures faster standalone but
     # is ~9x slower when fused into this program (strided-slice + 2-D window
     # gather lower badly on TPU); the direct binary search fuses to ~1 ms.
-    offsets = jnp.searchsorted(keys_s, boundaries, side="left").astype(jnp.int32)
-
-    return IsectPacked(
-        isect_keys=keys_s,
-        flatten_ids=fids_s,
-        offsets=offsets,
-        n_isects=n_isects,
-        n_dropped=n_dropped,
-        depth_bits=depth_bits,
-    )
+    return jnp.searchsorted(keys_s, boundaries, side="left").astype(jnp.int32)
 
 
 def align_isect_ranges(

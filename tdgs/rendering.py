@@ -64,6 +64,7 @@ def rasterization(
     isect_capacity: Optional[int] = None,
     tile_capacity: int = 1024,
     max_tiles_per_gauss: int = 32,
+    isect_exact: bool = False,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
     means2d_abs_tap: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
@@ -242,7 +243,7 @@ def rasterization(
             tile_width,
             tile_height,
             max_tiles_per_gauss=max_tiles_per_gauss,
-            capacity=isect_capacity,
+            capacity=isect_capacity, exact=isect_exact,
         )
         meta.update(
             {
@@ -313,7 +314,7 @@ def rasterization(
             jax.lax.stop_gradient(depths),
             tile_size, tile_width, tile_height,
             max_tiles_per_gauss=max_tiles_per_gauss,
-            capacity=isect_capacity,
+            capacity=isect_capacity, exact=isect_exact,
         )
         meta.update(
             {
@@ -533,6 +534,7 @@ def rasterization_2dgs(
     isect_capacity: Optional[int] = None,
     tile_capacity: int = 512,
     max_tiles_per_gauss: int = 32,
+    isect_exact: bool = False,
     rasterizer: str = "jax",
 ) -> Tuple[jnp.ndarray, ...]:
     """Rasterize 2D (surfel) Gaussians — API parity with the reference's
@@ -614,7 +616,7 @@ def rasterization_2dgs(
             jax.lax.stop_gradient(means2d), radii,
             jax.lax.stop_gradient(depths), tile_size, tile_width,
             tile_height, max_tiles_per_gauss=max_tiles_per_gauss,
-            capacity=isect_capacity,
+            capacity=isect_capacity, exact=isect_exact,
         )
         if rasterizer == "packed":
             (render_colors, render_alphas, render_normals_cam,

@@ -72,6 +72,12 @@ class Config:
     # domino scene). Without it the model must fabricate huge flat splats
     # to explain the backdrop. None → composite onto black.
     background_color: Optional[Tuple[float, float, float]] = None
+    # hard ceiling on per-axis splat scale in world units, applied as a
+    # projection after every optimizer step. Degenerate frame-filling
+    # splats cover thousands of tiles each and wreck rasterization
+    # throughput; the reference's DefaultStrategy similarly prunes
+    # scale > prune_scale3d·scene_scale (strategy/default.py:311-339).
+    max_scale: Optional[float] = None
     depth_loss: bool = False
     depth_lambda: float = 1e-2
     opacity_reg: float = 0.0

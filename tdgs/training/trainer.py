@@ -616,6 +616,14 @@ class Runner:
         params, opt_state = self.optimizer.update(
             g_params, opt_state, params, lr_dict, visibility=visibility
         )
+        if cfg.max_scale is not None:
+            # projection onto the scale constraint (Config.max_scale)
+            params = dict(
+                params,
+                scales=jnp.minimum(
+                    params["scales"], float(np.log(cfg.max_scale))
+                ),
+            )
         if seg_head is not None and (use_seg_loss or use_spatial_reg):
             new_head, new_mu, new_nu = {}, {}, {}
             for k, g in g_seg.items():

@@ -136,11 +136,16 @@ def test_isect_tiles_packed_capacity_truncation():
     assert trunc.isect_keys.shape == (cap,)
     assert int(trunc.n_isects) == cap
     assert int(trunc.n_dropped) == int(full.n_dropped) + (n_real - cap)
-    # the kept entries are exactly the first `cap` of the full sort
-    np.testing.assert_array_equal(
-        np.sort(np.asarray(trunc.isect_keys)),
-        np.sort(np.asarray(full.isect_keys[:cap])),
-    )
+    # kept entries are the expansion's first `cap` slots in gaussian-id
+    # order (the exact-coverage design truncates pre-sort): every kept key
+    # must appear in the full result, with multiplicity
+    full_keys = np.asarray(full.isect_keys)[: n_real]
+    kept = np.asarray(trunc.isect_keys)
+    fu, fc = np.unique(full_keys, return_counts=True)
+    ku, kc = np.unique(kept, return_counts=True)
+    pos = np.searchsorted(fu, ku)
+    assert (pos < fu.size).all() and (fu[pos] == ku).all()
+    assert (kc <= fc[pos]).all()  # kept multiset ⊆ full multiset
     # offsets stay within the truncated buffer and consistent with keys
     offs = np.asarray(trunc.offsets)
     assert offs[-1] <= cap
@@ -154,3 +159,52 @@ def test_isect_tiles_packed_capacity_truncation():
     )
     assert int(roomy.n_dropped) == int(full.n_dropped)
     np.testing.assert_array_equal(np.asarray(roomy.offsets), np.asarray(full.offsets))
+
+
+def test_isect_tiles_packed_exact_coverage_large_splat():
+    """A splat covering many more tiles than the legacy max_tiles_per_gauss
+    must get ALL its tiles (the old per-gaussian cap rendered only the first
+    K tiles of the bbox — horizontal-band artifacts on large splats)."""
+    tw = th = 16
+    tile_size = 16
+    # one huge splat centred on the 256x256 image, radius covers everything
+    means2d = np.array([[[128.0, 128.0]]], np.float32)
+    radii = np.array([[[300, 300]]], np.int32)
+    depths = np.array([[2.0]], np.float32)
+    out = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, max_tiles_per_gauss=16, capacity=512, exact=True,
+    )
+    assert int(out.n_isects) == tw * th  # all 256 tiles covered
+    assert int(out.n_dropped) == 0
+    offs = np.asarray(out.offsets)
+    # every tile's range contains exactly one entry
+    assert (np.diff(offs)[: tw * th] == 1).all()
+
+
+def test_isect_tiles_packed_exact_matches_capped_when_small():
+    """With no gaussian over the K cap, exact=True and the capped expansion
+    must produce identical sorted buffers (same keys/fids multisets and the
+    same offsets)."""
+    rng = np.random.default_rng(9)
+    n = 96
+    tw, th = 6, 5
+    tile_size = 16
+    means2d = rng.uniform(0, 90, size=(2, n, 2)).astype(np.float32)
+    radii = rng.integers(0, 10, size=(2, n, 2)).astype(np.int32)
+    depths = rng.uniform(1, 9, size=(2, n)).astype(np.float32)
+    kw = dict(max_tiles_per_gauss=16, capacity=2048, sort_stable=True)
+    a = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, **kw)
+    b = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, exact=True, **kw)
+    assert int(a.n_dropped) == 0 and int(b.n_dropped) == 0
+    assert int(a.n_isects) == int(b.n_isects)
+    n_real = int(a.n_isects)
+    np.testing.assert_array_equal(
+        np.asarray(a.isect_keys)[:n_real], np.asarray(b.isect_keys)[:n_real])
+    np.testing.assert_array_equal(
+        np.asarray(a.flatten_ids)[:n_real], np.asarray(b.flatten_ids)[:n_real])
+    np.testing.assert_array_equal(np.asarray(a.offsets), np.asarray(b.offsets))

@@ -273,10 +273,13 @@ def test_trainer_background_color(tmp_path):
         tb_every=10,
         rasterizer="jax",
         background_color=(0.2, 0.5, 0.9),
+        max_scale=0.05,
     )
     runner = Runner(cfg)
     out = runner.train()
     assert np.isfinite(out["history"][-1]["loss"])
+    # Config.max_scale projects scales onto the ceiling after every step
+    assert float(np.exp(np.asarray(runner.splats["scales"]).max())) <= 0.0501
 
     # an empty-alpha view must show exactly the configured backdrop
     d = runner.trainset[0]
