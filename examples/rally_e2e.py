@@ -142,15 +142,26 @@ def main():
         save_cluster_groups,
     )
 
+    # multi-view anchors: a single view can occlude rear dominoes (the
+    # orbit's head-on frames see a stacked row), starving their anchor of
+    # pixels and merging clusters. Concatenating several spread views'
+    # identity maps + masks row-wise gives every instance well-seen pixels.
+    n_views = len(runner.trainset)
+    view_ids = sorted({0, n_views // 4, n_views // 2, 3 * n_views // 4})
+    maps, masks = [], []
+    for v in view_ids:
+        maps.append(runner.render_identity_map(v))
+        masks.append(np.asarray(runner.trainset[v]["instance_mask"]))
+    identity_map = np.concatenate(maps, axis=0)
+    instance_mask = np.concatenate(masks, axis=0)
     d = runner.trainset[0]
-    identity_map = runner.render_identity_map(0)
     feats = np.asarray(
         apply_segmentation_head(
             runner.seg_head, runner.splats["identity_encodings"]
         )
     )
     res = kmeans_identity_encodings_background(
-        identity_map, d["instance_mask"], feats
+        identity_map, instance_mask, feats
     )
     # dead MCMC rows (opacity ~ 0) carry no geometry — keep them out of the
     # rigid bodies regardless of which centroid their encoding landed on

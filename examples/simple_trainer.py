@@ -29,6 +29,20 @@ def build_parser() -> argparse.ArgumentParser:
         if f.name == "strategy":
             continue
         arg = "--" + f.name.replace("_", "-")
+        if f.name == "background_color":
+            # "r,g,b" or a single gray value → 3-tuple
+            ap.add_argument(
+                arg,
+                type=lambda s: tuple(
+                    (lambda v: v * 3 if len(v) == 1 else v)(
+                        [float(x) for x in s.split(",")]
+                    )
+                ),
+                default=None, dest=f.name,
+                help="constant compositing background, e.g. 0.78 or "
+                "0.2,0.5,0.9",
+            )
+            continue
         if f.type == "bool" or isinstance(f.default, bool):
             # --flag / --no-flag; None = keep the Config default
             ap.add_argument(arg, action=argparse.BooleanOptionalAction,
