@@ -54,6 +54,11 @@ def main():
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--sh-degree", type=int, default=3)
+    ap.add_argument("--background", type=float, default=None,
+                    help="constant gray compositing background (e.g. 0.78)")
+    ap.add_argument("--exact-tiles", action="store_true",
+                    help="exact tile coverage (no per-gaussian cap) — use "
+                    "for trained scenes with large splats")
     ap.add_argument("--out", default="out.png")
     args = ap.parse_args()
 
@@ -143,7 +148,9 @@ def main():
             jax.nn.sigmoid(splats["opacities"]), sh,
             jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
             args.width, args.height, sh_degree=args.sh_degree,
-            rasterizer=rasterizer,
+            rasterizer=rasterizer, isect_exact=args.exact_tiles,
+            backgrounds=(jnp.full((1, 3), args.background)
+                         if args.background is not None else None),
         )
         return img, alpha
 
