@@ -241,8 +241,12 @@ def main():
             backgrounds=bkgd,
             # exact tile coverage: trained scenes have splats larger than
             # the capped expansion handles (banding); capacities sized for
-            # ~2M intersections at 1080p
-            isect_exact=True, isect_capacity=2_097_152, tile_capacity=2048,
+            # ~2M intersections at 1080p. exact_depth makes the
+            # compositing order match the oracle's exact f32 depth sort
+            # (quantized order costs ~4 dB against the golden check under
+            # this scene's overdraw)
+            isect_exact=True, isect_exact_depth=True,
+            isect_capacity=2_097_152, tile_capacity=2048,
         )
         return img, alpha
 

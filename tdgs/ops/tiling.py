@@ -162,6 +162,7 @@ def isect_tiles_packed(
     capacity: Optional[int] = None,
     sort_stable: bool = False,
     exact: bool = False,
+    exact_depth: bool = False,
 ) -> IsectPacked:
     """Fast-path tile intersection: one packed int32 key, no scatter.
 
@@ -182,6 +183,13 @@ def isect_tiles_packed(
       ``capacity`` entries instead of N·K. Real intersections beyond it are
       dropped from the highest tile ids and counted in ``n_dropped``.
 
+    ``exact_depth=True`` sorts on the full f32 depth instead of the
+    quantized low key bits: the keys become pure tile ids and the f32
+    depth bits ride as a second sort operand (bitcast int32 — a monotone
+    map for the positive camera-space depths that survive near-plane
+    culling). Costs a 2-key sort; use where compositing order must match
+    an exact-depth reference bit-for-bit (golden checks, heavy overdraw).
+
     ``exact=True`` switches to the **exact-coverage** expansion — the
     reference's two-pass count/cumsum/write (IntersectTile.cu:95-113) done
     static-shape, with NO per-gaussian tile cap: a splat covering 3000
@@ -201,15 +209,15 @@ def isect_tiles_packed(
     n_tiles = tile_width * tile_height
 
     tile_bits = max(int(math.ceil(math.log2(max(I * n_tiles, 2)))), 1)
-    depth_bits = 31 - tile_bits
-    assert depth_bits >= 8, (
+    depth_bits = 0 if exact_depth else 31 - tile_bits
+    assert exact_depth or depth_bits >= 8, (
         f"too many tiles ({I * n_tiles}) for packed keys; use isect_tiles"
     )
     # top value reserved: the last tile's max-depth key would otherwise be
     # ((T-1) << depth_bits) | (2^depth_bits - 1) == INT32_SENTINEL and the
     # entry would be dropped as invalid (it composites last in the corner
     # tile — found by the sharded packed-grad parity test)
-    depth_levels = (1 << depth_bits) - 2
+    depth_levels = max((1 << depth_bits) - 2, 1)
 
     means2d_f = means2d.reshape(I, N, 2)
     radii_f = radii.reshape(I, N, 2).astype(means2d_f.dtype)
@@ -243,6 +251,9 @@ def isect_tiles_packed(
         0,
         depth_levels,
     )  # [I, N]
+    if exact_depth:
+        qdepth = jnp.zeros_like(qdepth)  # depth rides as a 2nd sort key
+        depth_i32 = jax.lax.bitcast_convert_type(depths_f, jnp.int32)
 
     if exact:
         # ---- exact variable-count expansion into a static [capacity]
@@ -267,18 +278,18 @@ def isect_tiles_packed(
         g_ids = jnp.arange(counts.shape[0], dtype=jnp.int32)
         first_tile = (g_ids // N) * n_tiles + mins_f[:, 1] * tile_width + mins_f[:, 0]
         base_key = (first_tile << depth_bits) | qdepth.reshape(-1)
-        vals = jnp.stack(
-            [
-                g_ids,  # owner id
-                starts,
-                base_key,
-                w_g.reshape(-1),
-            ],
-            axis=-1,
-        )  # [G, 4]
+        cols = [
+            g_ids,  # owner id
+            starts,
+            base_key,
+            w_g.reshape(-1),
+        ]
+        if exact_depth:
+            cols.append(depth_i32.reshape(-1))
+        vals = jnp.stack(cols, axis=-1)  # [G, 4 or 5]
         deltas = jnp.concatenate([vals[:1], vals[1:] - vals[:-1]], axis=0)
         acc = (
-            jnp.zeros((capacity, 4), jnp.int32)
+            jnp.zeros((capacity, len(cols)), jnp.int32)
             .at[starts]
             .add(deltas, mode="drop")
         )
@@ -293,9 +304,14 @@ def isect_tiles_packed(
         keys = acc[:, 2] + ((dy * tile_width + dx) << depth_bits)
         keys = jnp.where(valid, keys, INT32_SENTINEL)
 
-        keys_s, fids_s = jax.lax.sort(
-            (keys, owner), num_keys=1, is_stable=sort_stable
-        )  # owner == image_id * N + gaussian_id == flatten id
+        if exact_depth:
+            keys_s, _, fids_s = jax.lax.sort(
+                (keys, acc[:, 4], owner), num_keys=2, is_stable=sort_stable
+            )
+        else:
+            keys_s, fids_s = jax.lax.sort(
+                (keys, owner), num_keys=1, is_stable=sort_stable
+            )  # owner == image_id * N + gaussian_id == flatten id
         n_isects = jnp.minimum(total, capacity).astype(jnp.int32)
         n_dropped = jnp.maximum(total - capacity, 0).astype(jnp.int32)
         return IsectPacked(
@@ -321,6 +337,29 @@ def isect_tiles_packed(
     fids = jnp.broadcast_to(
         img_ids * N + jnp.arange(N, dtype=jnp.int32)[None, :, None], (I, N, K)
     )
+
+    if exact_depth:
+        dep = jnp.broadcast_to(depth_i32[..., None], (I, N, K))
+        keys_s, _, fids_s = jax.lax.sort(
+            (keys.reshape(-1), dep.reshape(-1), fids.reshape(-1)),
+            num_keys=2, is_stable=sort_stable,
+        )
+        n_isects = jnp.sum(tiles_capped).astype(jnp.int32)
+        n_dropped = jnp.sum(tiles_full - tiles_capped).astype(jnp.int32)
+        if capacity is not None and capacity < keys_s.shape[0]:
+            capacity = -(-capacity // 128) * 128
+            keys_s = keys_s[:capacity]
+            fids_s = fids_s[:capacity]
+            n_dropped = n_dropped + jnp.maximum(n_isects - capacity, 0)
+            n_isects = jnp.minimum(n_isects, capacity)
+        return IsectPacked(
+            isect_keys=keys_s,
+            flatten_ids=fids_s,
+            offsets=_packed_offsets(keys_s, I, n_tiles, depth_bits),
+            n_isects=n_isects,
+            n_dropped=n_dropped,
+            depth_bits=depth_bits,
+        )
 
     keys_s, fids_s = jax.lax.sort(
         (keys.reshape(-1), fids.reshape(-1)), num_keys=1, is_stable=sort_stable

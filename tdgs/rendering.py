@@ -65,6 +65,7 @@ def rasterization(
     tile_capacity: int = 1024,
     max_tiles_per_gauss: int = 32,
     isect_exact: bool = False,
+    isect_exact_depth: bool = False,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
     means2d_abs_tap: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
@@ -244,6 +245,7 @@ def rasterization(
             tile_height,
             max_tiles_per_gauss=max_tiles_per_gauss,
             capacity=isect_capacity, exact=isect_exact,
+            exact_depth=isect_exact_depth,
         )
         meta.update(
             {
@@ -315,6 +317,7 @@ def rasterization(
             tile_size, tile_width, tile_height,
             max_tiles_per_gauss=max_tiles_per_gauss,
             capacity=isect_capacity, exact=isect_exact,
+            exact_depth=isect_exact_depth,
         )
         meta.update(
             {
@@ -535,6 +538,7 @@ def rasterization_2dgs(
     tile_capacity: int = 512,
     max_tiles_per_gauss: int = 32,
     isect_exact: bool = False,
+    isect_exact_depth: bool = False,
     rasterizer: str = "jax",
 ) -> Tuple[jnp.ndarray, ...]:
     """Rasterize 2D (surfel) Gaussians — API parity with the reference's
@@ -617,6 +621,7 @@ def rasterization_2dgs(
             jax.lax.stop_gradient(depths), tile_size, tile_width,
             tile_height, max_tiles_per_gauss=max_tiles_per_gauss,
             capacity=isect_capacity, exact=isect_exact,
+            exact_depth=isect_exact_depth,
         )
         if rasterizer == "packed":
             (render_colors, render_alphas, render_normals_cam,

@@ -208,3 +208,34 @@ def test_isect_tiles_packed_exact_matches_capped_when_small():
     np.testing.assert_array_equal(
         np.asarray(a.flatten_ids)[:n_real], np.asarray(b.flatten_ids)[:n_real])
     np.testing.assert_array_equal(np.asarray(a.offsets), np.asarray(b.offsets))
+
+
+def test_isect_tiles_packed_exact_depth_order():
+    """exact_depth=True must order entries inside each tile by true f32
+    depth (the quantized single-key mode buckets depths to depth_bits
+    levels; two nearby depths can swap)."""
+    tile_size = 16
+    tw = th = 2
+    n = 40
+    rng = np.random.default_rng(11)
+    means2d = rng.uniform(0, 32, size=(1, n, 2)).astype(np.float32)
+    radii = np.full((1, n, 2), 4, np.int32)
+    # adversarial depths: tiny increments that quantization buckets merge
+    depths = (2.0 + np.arange(n, dtype=np.float32) * 1e-7)[None]
+    perm = rng.permutation(n)
+    depths = depths[:, perm]
+
+    for exact in (False, True):
+        res = tiling.isect_tiles_packed(
+            jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+            tile_size, tw, th, max_tiles_per_gauss=8, capacity=512,
+            exact=exact, exact_depth=True,
+        )
+        n_real = int(res.n_isects)
+        keys = np.asarray(res.isect_keys)[:n_real]
+        fids = np.asarray(res.flatten_ids)[:n_real]
+        d = depths[0][fids]
+        # within every tile-key run, depths must be non-decreasing
+        for k in np.unique(keys):
+            dk = d[keys == k]
+            assert (np.diff(dk) >= 0).all(), (exact, k, dk)
