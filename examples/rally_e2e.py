@@ -232,6 +232,25 @@ def main():
 
     bkgd = jnp.full((1, 3), DOMINO_BACKGROUND)
 
+    # size the static intersection buffer to this scene: in exact mode
+    # n_isects + n_dropped always equals the true demand, so a tiny-capacity
+    # probe measures it; +30% headroom covers frame-to-frame variation as
+    # bodies move
+    from tdgs.ops.projection import fully_fused_projection
+    from tdgs.ops.tiling import isect_tiles_packed
+    pr = fully_fused_projection(
+        splats["means"], splats["quats"], jnp.exp(splats["scales"]),
+        jnp.asarray(viewmat)[None], jnp.asarray(K)[None], W, H,
+        opacities=jax.nn.sigmoid(splats["opacities"]),
+    )
+    probe = isect_tiles_packed(
+        pr[1], pr[0], pr[2], 16, -(-W // 16), -(-H // 16),
+        capacity=128, exact=True,
+    )
+    demand = int(probe.n_isects) + int(probe.n_dropped)
+    isect_cap = max(int(demand * 1.3), 1 << 18)
+    print(f"      isect demand {demand} → capacity {isect_cap}")
+
     def render_fn(m, q):
         img, alpha, _ = rasterization(
             m, q, jnp.exp(splats["scales"]),
@@ -246,7 +265,7 @@ def main():
             # (quantized order costs ~4 dB against the golden check under
             # this scene's overdraw)
             isect_exact=True, isect_exact_depth=True,
-            isect_capacity=2_097_152, tile_capacity=2048,
+            isect_capacity=isect_cap, tile_capacity=2048,
         )
         return img, alpha
 
@@ -261,30 +280,41 @@ def main():
     first = int(np.argmin(np.asarray(bodies.com0)[:, 0]))
     state = state0._replace(w=state0.w.at[first, 1].set(args.push))
 
-    # golden check (north-star "matching frames at PSNR ≥ 40"): the same
-    # pre-push state rendered through the production kernel vs the
-    # differentiable jnp oracle path
-    img_fast, _ = render_fn(splats["means"], splats["quats"])
-    # the jnp oracle materializes [tiles, pixels, tile_capacity]; a full
-    # 1080p frame OOMs a 16 GB chip, so render it in horizontal stripes
-    # (principal-point shift — pinhole rays depend only on K and the
-    # pixel, so stacking stripes is exact)
-    stripe_h, stripes = 64, []
-    for y0 in range(0, H, stripe_h):
-        hs = min(stripe_h, H - y0)
-        Ks = K.copy()
-        Ks[1, 2] -= y0
-        img_s, _, _ = rasterization(
-            splats["means"], splats["quats"], jnp.exp(splats["scales"]),
-            jax.nn.sigmoid(splats["opacities"]), sh,
-            jnp.asarray(viewmat)[None], jnp.asarray(Ks)[None],
-            W, hs, sh_degree=cfg.sh_degree, rasterizer="jax",
-            tile_capacity=2048, backgrounds=bkgd,
-            # a 64px stripe has ≤ 120·5 tiles — this K covers any splat
-            max_tiles_per_gauss=600,
-        )
-        stripes.append(np.asarray(img_s[0]))
-    img_oracle = np.concatenate(stripes, axis=0)
+    # golden check (north-star "matching frames at PSNR ≥ 40"): the
+    # pre-push frame through the production kernel vs an independent
+    # float64 numpy re-composition of the SAME projected stream
+    # (tdgs/utils/golden.py — a viewport-cropped jnp-oracle re-render is
+    # NOT a valid reference: EWA clamps (tx, ty) to viewport-dependent
+    # frustum limits, so stripes linearize big splats differently;
+    # projection itself is covered by tests/test_reference_parity.py)
+    from tdgs.ops.sh import spherical_harmonics
+    from tdgs.utils.golden import compose_reference_f64
+
+    img_fast, _, gmeta = rasterization(
+        splats["means"], splats["quats"], jnp.exp(splats["scales"]),
+        jax.nn.sigmoid(splats["opacities"]), sh,
+        jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
+        W, H, sh_degree=cfg.sh_degree, rasterizer=rasterizer,
+        backgrounds=bkgd, isect_exact=True, isect_exact_depth=True,
+        isect_capacity=isect_cap, tile_capacity=2048,
+    )
+    campos = -np.asarray(viewmat)[:3, :3].T @ np.asarray(viewmat)[:3, 3]
+    dirs = jnp.asarray(np.asarray(splats["means"]) - campos)
+    cols = np.clip(
+        np.asarray(spherical_harmonics(cfg.sh_degree, dirs, sh)) + 0.5,
+        0.0, None,
+    )
+    img_oracle = compose_reference_f64(
+        np.asarray(gmeta["isect_offsets"]),
+        np.asarray(gmeta["flatten_ids"]),
+        np.asarray(gmeta["means2d"]).reshape(-1, 2),
+        np.asarray(gmeta["conics"]).reshape(-1, 3),
+        cols,
+        np.asarray(jax.nn.sigmoid(splats["opacities"])),
+        W, H, gmeta["tile_size"], gmeta["tile_width"],
+        gmeta["tile_height"],
+        background=np.full((3,), DOMINO_BACKGROUND),
+    )
     golden_psnr = psnr_np(
         np.clip(np.asarray(img_fast[0]), 0, 1),
         np.clip(img_oracle, 0, 1),

@@ -696,7 +696,8 @@ def _fwd_kernel_unaligned(
             alpha, _, _, _, _, colors = _chunk_values(window, px, py, D)
             alpha = jnp.where(in_range, alpha, 0.0)
             logs = jnp.log1p(-alpha)
-            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             logP = S + lograw_ref[:, 0:1]
             included = logP > jnp.log(TRANSMITTANCE_EPS)
             P_prev = jnp.exp(logP - logs)
@@ -705,6 +706,7 @@ def _fwd_kernel_unaligned(
                 colors, w,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
             lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
             logeff_ref[:, :] += jnp.sum(
