@@ -547,40 +547,34 @@ def rasterize_to_pixels_packed(
         ],
         axis=-1,
     )  # [I*N, F_pad]
-    from tdgs.ops.tiling import align_isect_ranges, scatter_align_entries
-
+    # UNALIGNED stream: no realignment pass. The raw sorted buffer feeds a
+    # rolled-window kernel (like the inference path), and the backward
+    # kernel writes per-entry grads with a cross-tile carry chunk — the
+    # aligned re-layout it replaces cost +CHUNK·T stream entries
+    # (1.44M → 2.5M at 1080p: +15 ms on the forward alone).
     capacity = flatten_ids.shape[0]
-    pad = (-capacity) % CHUNK
-    if pad:
-        flatten_ids = jnp.pad(flatten_ids, (0, pad))
-        capacity += pad
-    # chunk-align every tile's range (Mosaic DMA offsets must be 128-aligned)
-    unaligned_offsets = offsets
-    offsets, chunk_starts, entry_valid = align_isect_ranges(
-        offsets, capacity, chunk=CHUNK, tile_capacity=tile_capacity
-    )
-    aligned_capacity = entry_valid.shape[0]
-    # one int32 scatter: the only fast realignment primitive on TPU
-    ids = scatter_align_entries(
-        flatten_ids, unaligned_offsets, offsets, aligned_capacity, fill=0
+    pad = (-capacity) % CHUNK + CHUNK  # slack so the last window DMA fits
+    ids = jnp.pad(flatten_ids, (0, pad))
+    capacity += pad
+    entry_valid = (
+        jnp.arange(capacity, dtype=jnp.int32) < offsets[-1]
     )
     ids = jnp.where(entry_valid, ids, 0)
     # Materialize feats before gathering: fusing the feature computation
     # into the gather destroys its row-contiguous access pattern. Gather
     # contiguous 64B rows, then transpose (a bandwidth-bound relayout).
     feats = jax.lax.optimization_barrier(feats)
-    rows = feats[ids]  # [aligned_capacity, F] — flat row gather (cheap)
+    rows = feats[ids]  # [capacity, F] — flat row gather (cheap)
     if absgrad_dummy is not None:
         from tdgs.ops.rasterize_jax import absgrad_tap
 
         rows = absgrad_tap(rows, absgrad_dummy, ids, entry_valid)
-    packed = jax.lax.optimization_barrier(rows).T  # [F, aligned_capacity]
+    packed = jax.lax.optimization_barrier(rows).T  # [F, capacity]
     # zero padding slots' opacity AFTER the transpose: a single-row update
     # instead of a full [capacity, F] copy (absgrad_tap ignores opacity)
     packed = packed.at[5:6, :].multiply(entry_valid[None, :].astype(packed.dtype))
-    capacity = packed.shape[1]
 
-    colors_out, trans_out = _raster_packed_core(
+    colors_out, trans_out = _raster_unaligned_core(
         packed, offsets, tile_size, tile_width,
         tile_width * tile_height, T_total, max(tile_capacity // CHUNK, 1), D,
     )  # [T, D, P], [T, P, 1]
@@ -818,3 +812,429 @@ def rasterize_to_pixels_packed_inference(
         img.reshape(image_dims + (image_height, image_width, D)),
         alp.reshape(image_dims + (image_height, image_width, 1)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable UNALIGNED path: training without the realignment pass
+# ---------------------------------------------------------------------------
+#
+# The aligned training path re-lays every tile's entry range onto 128-lane
+# boundaries (align_isect_ranges + scatter_align_entries) because the
+# backward kernel writes per-entry gradient chunks with DMA, and Mosaic DMA
+# offsets must be 128-aligned. The rounding costs up to +CHUNK·T entries of
+# stream (at 1080p: 1.44M → 2.5M rows through the feature gather and both
+# kernels — measured +15 ms on the forward alone).
+#
+# This path streams the raw sorted buffer directly (the inference kernel's
+# 3-slot rolled-window read) and solves the write side with a CROSS-TILE
+# CARRY CHUNK: per-entry grads are rotated back into raw-stream chunk
+# positions; a chunk is flushed exactly when its 128 lanes are complete,
+# and the trailing partial chunk stays in a VMEM carry buffer that the
+# NEXT tile completes (tile ranges partition the stream contiguously, and
+# the TPU grid is sequential, so the hand-off is race-free).
+#
+# tile_capacity truncation: the skipped gap gets explicit zero-flushes, and
+# the carry is invalidated across a truncated tile (≤127 boundary-entry
+# grads zero in that overflow case — truncation already zeroes the rest).
+
+
+def _bwd_chunk_grads(
+    window, px, py, tri, lograw, prefq, vcol, va_tfin, totq,
+    tx0, ty0, tile_size, D,
+):
+    """Per-chunk backward math shared by the aligned/unaligned kernels.
+
+    window: [F, CHUNK] feature block (out-of-range lanes pre-zeroed).
+    Returns (gout [8+D..., CHUNK] rows ordered like the packed features,
+    q [P, CHUNK], logs [P, CHUNK])."""
+    alpha, vis, dx, dy, (ca, cb, cc, op), colors = _chunk_values(
+        window, px, py, D
+    )
+    mx = window[0:1, :]
+    my = window[1:2, :]
+    one_minus = 1.0 - alpha
+    logs = jnp.log1p(-alpha)
+    S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+    logP = S + lograw
+    included = logP > jnp.log(TRANSMITTANCE_EPS)
+    P_prev = jnp.exp(logP - logs)
+    w = jnp.where(included, alpha * P_prev, 0.0)
+
+    r = jax.lax.dot_general(
+        vcol, colors,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [P, G]
+    q = w * r
+    pref_incl = (
+        jnp.dot(q, tri, preferred_element_type=jnp.float32) + prefq
+    )
+    suffix = totq - pref_incl
+    ra = 1.0 / one_minus
+    v_alpha = r * P_prev - suffix * ra + va_tfin * ra
+    live = included & (alpha > 0.0)
+    v_alpha = jnp.where(live, v_alpha, 0.0)
+
+    unclamped = (op * vis) <= ALPHA_CLAMP
+    v_sigma = jnp.where(unclamped, -op * vis * v_alpha, 0.0)
+
+    basis = _pixel_moment_basis(tile_size)  # [8, P]
+    mom = jax.lax.dot_general(
+        basis, v_sigma,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [8, G]
+    mxl = mx - tx0
+    myl = my - ty0
+    m0 = mom[0:1, :]
+    mpx = mom[1:2, :]
+    mpy = mom[2:3, :]
+    mxx = mom[3:4, :]
+    mxy = mom[4:5, :]
+    myy = mom[5:6, :]
+    s_dx = mxl * m0 - mpx
+    s_dy = myl * m0 - mpy
+    s_dxx = mxl * mxl * m0 - 2.0 * mxl * mpx + mxx
+    s_dxy = mxl * myl * m0 - mxl * mpy - myl * mpx + mxy
+    s_dyy = myl * myl * m0 - 2.0 * myl * mpy + myy
+    v_colors = jnp.dot(vcol, w, preferred_element_type=jnp.float32)  # [D, G]
+    gout = jnp.concatenate(
+        [
+            ca * s_dx + cb * s_dy,  # g_mx
+            cb * s_dx + cc * s_dy,  # g_my
+            0.5 * s_dxx,  # g_ca
+            s_dxy,  # g_cb
+            0.5 * s_dyy,  # g_cc
+            jnp.where(op > 0.0, -m0 / jnp.where(op > 0.0, op, 1.0), 0.0),
+            v_colors,
+        ],
+        axis=0,
+    )  # [6 + D, CHUNK]
+    return gout, q, logs
+
+
+def _bwd_kernel_unaligned(
+    offs_ref,  # scalar prefetch [T+1] UNALIGNED offsets
+    packed_ref,  # [F, capacity_pad] ANY (raw sorted order)
+    tfinal_ref,  # [P, 1]
+    totq_ref,  # [P, 1]
+    vcol_ref,  # [D, P]
+    valp_ref,  # [P, 1]
+    vpacked_ref,  # out [Fv, capacity_pad] ANY
+    buf,  # scratch [3, F, CHUNK] input slots
+    sems,  # DMA sems (3,)
+    obuf,  # scratch [2, Fv, CHUNK] flush slots
+    osems,  # DMA sems (2,)
+    cbuf,  # scratch [Fv, CHUNK] carry chunk (PERSISTS across tiles)
+    cflag,  # scratch SMEM [1] int32 carry-valid flag (persists)
+    lograw_ref,  # [P, 1]
+    prefq_ref,  # [P, 1]
+    *,
+    tile_size: int,
+    tile_width: int,
+    tiles_per_image: int,
+    max_chunks: int,
+    D: int,
+    Fv: int,
+):
+    t = pl.program_id(0)
+    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
+    tri = _tri_upper_incl(CHUNK)
+    t_in_img = t % tiles_per_image
+    tx0 = ((t_in_img % tile_width) * tile_size).astype(jnp.float32)
+    ty0 = ((t_in_img // tile_width) * tile_size).astype(jnp.float32)
+
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+    raw_count = end - start
+    count = jnp.minimum(raw_count, max_chunks * CHUNK)
+    truncated = raw_count > max_chunks * CHUNK
+    astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    s0 = start - astart
+    n = pl.cdiv(count, CHUNK)  # compute windows
+    span = pl.cdiv(s0 + count, CHUNK)  # aligned input chunks
+    m = (s0 + count) // CHUNK  # chunks this tile completes
+
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
+    prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
+    va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]
+
+    @pl.when(t == 0)
+    def _():
+        cbuf[:, :] = jnp.zeros_like(cbuf)
+        cflag[0] = 1
+
+    # a truncated predecessor leaves the carry positioned for the wrong
+    # chunk — start from zeros instead (its pending grads are part of the
+    # overflow loss)
+    @pl.when((cflag[0] == 0) & (count > 0))
+    def _():
+        cbuf[:, :] = jnp.zeros_like(cbuf)
+        cflag[0] = 1
+
+    def dma_in(j):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(astart + j * CHUNK, CHUNK)],
+            buf.at[j % 3],
+            sems.at[j % 3],
+        )
+
+    def dma_out(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            vpacked_ref.at[:, pl.ds(chunk_idx * CHUNK, CHUNK)],
+            osems.at[slot],
+        )
+
+    @pl.when(span > 0)
+    def _():
+        dma_in(0).start()
+
+    @pl.when(span > 1)
+    def _():
+        dma_in(1).start()
+
+    @pl.when(span > 0)
+    def _():
+        dma_in(0).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def body(k, _):
+        @pl.when(k + 2 < span)
+        def _():
+            dma_in(k + 2).start()
+
+        @pl.when(k + 1 < span)
+        def _():
+            dma_in(k + 1).wait()
+
+        combined = jnp.concatenate([buf[k % 3], buf[(k + 1) % 3]], axis=1)
+        window = pltpu.roll(combined, -s0, 1)[:, :CHUNK]
+        in_range = lane + k * CHUNK < count
+        window = jnp.where(in_range, window, 0.0)
+
+        gout, q, logs = _bwd_chunk_grads(
+            window, px, py, tri, lograw_ref[:, 0:1], prefq_ref[:, 0:1],
+            vcol_ref[:, :], va_tfin, totq_ref[:, 0:1],
+            tx0, ty0, tile_size, D,
+        )
+        gout = jnp.where(in_range, gout, 0.0)
+        if Fv > gout.shape[0]:
+            gout = jnp.concatenate(
+                [gout, jnp.zeros((Fv - gout.shape[0], CHUNK), jnp.float32)],
+                axis=0,
+            )
+        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
+        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+
+        # rotate grads back to raw chunk positions: lane l >= s0 belongs to
+        # chunk c0+k, lane l < s0 to chunk c0+k+1
+        rolled = pltpu.roll(gout, s0, 1)
+        complete = k * CHUNK + (CHUNK - s0) <= count
+
+        @pl.when(complete)
+        def _():
+            slot = k % 2
+
+            @pl.when(k >= 2)
+            def _():
+                dma_out(slot, astart // CHUNK + k - 2).wait()
+
+            obuf[slot] = jnp.where(lane >= s0, rolled, cbuf[:, :])
+            dma_out(slot, astart // CHUNK + k).start()
+            cbuf[:, :] = jnp.where(lane < s0, rolled, 0.0)
+
+        @pl.when(~complete)
+        def _():
+            # final partial window: merge own lanes into the carry
+            cbuf[:, :] = jnp.where(lane < s0, cbuf[:, :], rolled)
+
+        return ()
+
+    jax.lax.fori_loop(0, n, body, ())
+
+    # drain outstanding flushes (the next tile reuses the slots)
+    @pl.when(m >= 2)
+    def _():
+        dma_out((m - 2) % 2, astart // CHUNK + m - 2).wait()
+
+    @pl.when(m >= 1)
+    def _():
+        dma_out((m - 1) % 2, astart // CHUNK + m - 1).wait()
+
+    last_tile = t == pl.num_programs(0) - 1
+
+    @pl.when(truncated)
+    def _():
+        # flush the pending partial chunk, zero-fill the skipped gap's
+        # chunks, and invalidate the carry
+        pend = (s0 + count) % CHUNK
+
+        @pl.when(pend > 0)
+        def _():
+            obuf[0] = jnp.where(lane < pend, cbuf[:, :], 0.0)
+            dma_out(0, astart // CHUNK + m).start()
+            dma_out(0, astart // CHUNK + m).wait()
+
+        gap_first = (start + count) // CHUNK + (pend > 0)
+        # the next tile re-writes its own first chunk (carry invalidated);
+        # the very last tile has no successor, so zero through its end
+        gap_stop = jnp.where(last_tile, pl.cdiv(end, CHUNK), end // CHUNK)
+
+        obuf[1] = jnp.zeros_like(obuf[1])
+
+        def zbody(c, _):
+            dma_out(1, c).start()
+            dma_out(1, c).wait()
+            return ()
+
+        jax.lax.fori_loop(gap_first, gap_stop, zbody, ())
+        cflag[0] = 0
+
+    # very last tile: flush whatever remains pending
+    @pl.when(last_tile & (~truncated))
+    def _():
+        obuf[0] = cbuf[:, :]
+        dma_out(0, (start + count) // CHUNK).start()
+        dma_out(0, (start + count) // CHUNK).wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def _raster_unaligned_core(
+    packed,  # [F_pad, capacity_pad] f32 (raw sorted order + slack)
+    offsets,  # [T+1] int32 UNALIGNED
+    tile_size: int,
+    tile_width: int,
+    tiles_per_image: int,
+    n_total_tiles: int,
+    max_chunks: int,
+    d: int,
+):
+    out, _ = _raster_unaligned_fwd(
+        packed, offsets, tile_size, tile_width, tiles_per_image,
+        n_total_tiles, max_chunks, d,
+    )
+    return out
+
+
+def _raster_unaligned_fwd(
+    packed, offsets, tile_size, tile_width, tiles_per_image, n_total_tiles,
+    max_chunks, d,
+):
+    F, capacity = packed.shape
+    D = d
+    P = tile_size * tile_size
+    assert capacity % CHUNK == 0
+
+    kern = functools.partial(
+        _fwd_kernel_unaligned,
+        tile_size=tile_size,
+        tile_width=tile_width,
+        tiles_per_image=tiles_per_image,
+        max_chunks=max_chunks,
+        D=D,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((D, P), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    colors_out, trans_out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_total_tiles, D, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed)
+    return (colors_out, trans_out), (packed, offsets, colors_out, trans_out)
+
+
+def _raster_unaligned_bwd(
+    tile_size, tile_width, tiles_per_image, n_total_tiles, max_chunks, d,
+    residuals, grads,
+):
+    packed, offsets, colors_out, trans_out = residuals
+    v_colors_out, v_trans_out = grads
+    F, capacity = packed.shape
+    D = d
+    Fv = F
+    P = tile_size * tile_size
+
+    v_alpha_img = -v_trans_out
+    tot_q = jnp.sum(
+        v_colors_out * colors_out, axis=1, keepdims=True
+    ).swapaxes(1, 2)
+
+    kern = functools.partial(
+        _bwd_kernel_unaligned,
+        tile_size=tile_size,
+        tile_width=tile_width,
+        tiles_per_image=tiles_per_image,
+        max_chunks=max_chunks,
+        D=D,
+        Fv=Fv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # packed
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # tfinal
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # tot_q
+            pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_colors_out
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_alpha_img
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((3, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, Fv, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((Fv, CHUNK), jnp.float32),  # carry chunk
+            pltpu.SMEM((1,), jnp.int32),  # carry-valid flag
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    (v_packed,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((Fv, capacity), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed, trans_out, tot_q, v_colors_out, v_alpha_img)
+    # the padded tail beyond offsets[-1] is never flushed — zero it before
+    # the gather-VJP scatter-add (padding ids point at gaussian 0)
+    valid = (
+        jnp.arange(capacity, dtype=jnp.int32) < offsets[-1]
+    )
+    v_packed = jnp.where(valid[None, :], v_packed, 0.0)
+    return v_packed, None
+
+
+_raster_unaligned_core.defvjp(_raster_unaligned_fwd, _raster_unaligned_bwd)

@@ -257,12 +257,13 @@ def make_domino_scene(
             j(means), j(quats), j(scales), j(opac), j(cols),
             j(viewmats[i : i + 1]), j(Ks[i : i + 1]), width, height,
             backgrounds=jnp.full((1, 3), DOMINO_BACKGROUND),
-            rasterizer=raster, tile_capacity=512,
+            rasterizer=raster, tile_capacity=512, isect_exact=True,
         )
         fm, _, _ = rasterization(
             j(means), j(quats), j(scales), j(opac), j(onehot),
             j(viewmats[i : i + 1]), j(Ks[i : i + 1]), width, height,
             sh_degree=None, rasterizer=raster, tile_capacity=512,
+            isect_exact=True,
         )
         imgs_l.append(np.asarray(im[0]))
         fmap_l.append(np.asarray(fm[0]))
