@@ -12,9 +12,12 @@ matrix M (row-major), opacity, then the accumulation channels (colors
 [+depth] and the 3 camera-frame normal components — normals composite
 exactly like colors, so they ride the same matmul).
 
-Scope: forward only (rendering/serving); the differentiable 2DGS path is
-the jnp rasterizer. Distortion/median-depth outputs (training-loss-only
-signals, Fwd.cu:389-438) are not produced here.
+Two entry points: rasterize_to_pixels_2dgs_packed_inference (forward-only,
+no distortion/median outputs) and rasterize_to_pixels_2dgs_packed (the
+differentiable training path — TPU counterpart of
+RasterizeToPixels2DGSFwd.cu + Bwd.cu:861 with distortion/median-depth,
+Fwd.cu:389-438, on the cross-tile carry-chunk write protocol described in
+rasterize_pallas_packed).
 """
 
 from __future__ import annotations
@@ -228,7 +231,7 @@ def rasterize_to_pixels_2dgs_packed_inference(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T_total,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -320,454 +323,6 @@ def _chunk_values_2dgs_full(buf, px, py, DA: int):
     return alpha, ch, (tmpx, tmpy, rtz, sigma3d, dx, dy, use3d, vis, op)
 
 
-def _fwd_kernel_2dgs(
-    offs_ref, packed_ref, color_out_ref, trans_out_ref, dist_out_ref,
-    med_out_ref, buf, sems, acc_ref, lograw_ref, logeff_ref, aprev_ref,
-    bprev_ref, dist_ref, med_ref, *,
-    tile_size: int, tile_width: int, tiles_per_image: int,
-    max_chunks: int, DA: int, depth_row: int, compute_distort: bool,
-):
-    """Aligned-range 2DGS forward: compositing + distortion + median depth.
-
-    Distortion (Mip-NeRF 360, Fwd.cu:389-399): 2·Σ_i w_i (d_i·A_i − B_i)
-    with A/B the exclusive prefix sums of w and w·d — exclusive prefixes run
-    as strictly-triangular MXU matmuls with [P,1] carries across chunks.
-    Median depth: depth of the last entry with raw transmittance > 0.5.
-    ``depth_row < 0`` disables both (no depth channel present).
-    """
-    t = pl.program_id(0)
-    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
-    tri = _tri_upper_incl(CHUNK)
-    tri_x = _tri_strict_upper(CHUNK)
-    lanes = jax.lax.broadcasted_iota(
-        jnp.int32, (tile_size * tile_size, CHUNK), 1
-    )
-
-    start = pl.multiple_of(offs_ref[t], CHUNK)
-    end = pl.multiple_of(offs_ref[t + 1], CHUNK)
-    count = jnp.minimum(end - start, max_chunks * CHUNK)
-    n_chunks = count // CHUNK
-
-    acc_ref[:, :] = jnp.zeros_like(acc_ref)
-    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
-    logeff_ref[:, :] = jnp.zeros_like(logeff_ref)
-    aprev_ref[:, :] = jnp.zeros_like(aprev_ref)
-    bprev_ref[:, :] = jnp.zeros_like(bprev_ref)
-    dist_ref[:, :] = jnp.zeros_like(dist_ref)
-    med_ref[:, :] = jnp.zeros_like(med_ref)
-
-    def dma(j, slot):
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(n_chunks > 0)
-    def _():
-        dma(0, 0).start()
-
-    def body(j, _):
-        slot = j % 2
-        not_done = jnp.max(lograw_ref[:, 0:1]) > jnp.log(TRANSMITTANCE_EPS)
-
-        @pl.when(j + 1 < n_chunks)
-        def _():
-            dma(j + 1, (j + 1) % 2).start()
-
-        dma(j, slot).wait()
-
-        @pl.when(not_done)
-        def _():
-            alpha, ch = _chunk_values_2dgs(buf[slot], px, py, DA)
-            logs = jnp.log1p(-alpha)
-            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
-            logP = S + lograw_ref[:, 0:1]
-            included = logP > jnp.log(TRANSMITTANCE_EPS)
-            P_prev = jnp.exp(logP - logs)
-            w = jnp.where(included, alpha * P_prev, 0.0)
-            acc_ref[:, :] += jax.lax.dot_general(
-                ch, w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            if depth_row >= 0:
-                d = ch[depth_row : depth_row + 1, :]  # [1, G]
-                wd = w * d
-                if compute_distort:
-                    Ax = (
-                        jnp.dot(w, tri_x, preferred_element_type=jnp.float32)
-                        + aprev_ref[:, 0:1]
-                    )
-                    Bx = (
-                        jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
-                        + bprev_ref[:, 0:1]
-                    )
-                    dist_ref[:, :] += jnp.sum(
-                        2.0 * w * (d * Ax - Bx), axis=1, keepdims=True
-                    )
-                    aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
-                    bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
-                # median: last entry with raw pre-transmittance > 0.5
-                m = (P_prev > 0.5) & (w > 0.0)
-                idx = jnp.max(
-                    jnp.where(m, lanes, -1), axis=1, keepdims=True
-                )  # [P, 1]
-                dmed = jnp.sum(
-                    jnp.where(lanes == idx, d, 0.0), axis=1, keepdims=True
-                )
-                med_ref[:, :] = jnp.where(idx >= 0, dmed, med_ref[:, :])
-            lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
-            logeff_ref[:, :] += jnp.sum(
-                jnp.where(included, logs, 0.0), axis=1, keepdims=True
-            )
-
-        return ()
-
-    jax.lax.fori_loop(0, n_chunks, body, ())
-
-    color_out_ref[:, :] = acc_ref[:, :]
-    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
-    dist_out_ref[:, :] = dist_ref[:, :]
-    med_out_ref[:, :] = med_ref[:, :]
-
-
-def _bwd_kernel_2dgs(
-    offs_ref, packed_ref, tfinal_ref, totq_ref, btot_ref, vch_ref, valp_ref,
-    vdist_ref, vpacked_ref, buf, obuf, sems, osems, lograw_ref, prefq_ref,
-    aprev_ref, bprev_ref, *,
-    tile_size: int, tile_width: int, tiles_per_image: int,
-    max_chunks: int, DA: int, depth_row: int, compute_distort: bool,
-):
-    """2DGS backward on the streaming skeleton of the 3DGS _bwd_kernel.
-
-    The compositing chain (r → q → suffix → v_alpha) is identical to 3DGS
-    with r extended by the distortion loss's total dL/dw (see
-    rasterize_2dgs_jax for the forward definition):
-        r_dist = 2(d·Aˣ − Bˣ) + 2((B_tot − Bⁱ) − d(A_tot − Aⁱ)),
-    where A_tot = Σw = alpha_img and B_tot = Σw·d = the rendered depth
-    channel, both forward outputs. The matching totq correction
-    (Σ w·r_dist = 2·distort) is applied on the XLA side. v_sigma then splits
-    between the 3D (ray-transform) and 2D (means2d low-pass) branches.
-    """
-    t = pl.program_id(0)
-    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
-    tri = _tri_upper_incl(CHUNK)
-    tri_x = _tri_strict_upper(CHUNK)
-
-    start = pl.multiple_of(offs_ref[t], CHUNK)
-    end = pl.multiple_of(offs_ref[t + 1], CHUNK)
-    count = jnp.minimum(end - start, max_chunks * CHUNK)
-    n_chunks = count // CHUNK
-
-    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
-    prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
-    aprev_ref[:, :] = jnp.zeros_like(aprev_ref)
-    bprev_ref[:, :] = jnp.zeros_like(bprev_ref)
-    va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]
-    a_tot = 1.0 - tfinal_ref[:, 0:1]  # Σ w (raw-cutoff compositing)
-
-    def dma_in(j, slot):
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
-
-    def dma_out(j, slot):
-        return pltpu.make_async_copy(
-            obuf.at[slot],
-            vpacked_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
-            osems.at[slot],
-        )
-
-    @pl.when(n_chunks > 0)
-    def _():
-        dma_in(0, 0).start()
-
-    def body(j, _):
-        slot = j % 2
-
-        @pl.when(j + 1 < n_chunks)
-        def _():
-            dma_in(j + 1, (j + 1) % 2).start()
-
-        dma_in(j, slot).wait()
-
-        @pl.when(j >= 2)
-        def _():
-            dma_out(j - 2, slot).wait()
-
-        alpha, ch, (tmpx, tmpy, rtz, sigma3d, dx, dy, use3d, vis, op) = (
-            _chunk_values_2dgs_full(buf[slot], px, py, DA)
-        )
-        one_minus = 1.0 - alpha
-        logs = jnp.log1p(-alpha)
-        S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
-        logP = S + lograw_ref[:, 0:1]
-        included = logP > jnp.log(TRANSMITTANCE_EPS)
-        P_prev = jnp.exp(logP - logs)
-        w = jnp.where(included, alpha * P_prev, 0.0)
-
-        # r[p, g] = Σ_d v_ch[d, p] · ch[d, g]
-        r = jax.lax.dot_general(
-            vch_ref[:, :], ch,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [P, G]
-        g_d_extra = None
-        if compute_distort and depth_row >= 0:
-            d = ch[depth_row : depth_row + 1, :]
-            wd = w * d
-            Ax = (
-                jnp.dot(w, tri_x, preferred_element_type=jnp.float32)
-                + aprev_ref[:, 0:1]
-            )
-            Bx = (
-                jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
-                + bprev_ref[:, 0:1]
-            )
-            vd = vdist_ref[:, 0:1]
-            r_dist = 2.0 * (d * Ax - Bx) + 2.0 * (
-                (btot_ref[:, 0:1] - Bx - wd) - d * (a_tot - Ax - w)
-            )
-            r = r + vd * r_dist
-            # dL/dd_k = v_dist · 2 w (Aˣ − (A_tot − Aⁱ)), Aⁱ = Aˣ + w
-            g_d_extra = vd * (2.0 * w * (2.0 * Ax + w - a_tot))  # [P, G]
-            aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
-            bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
-
-        q = w * r
-        pref_incl = (
-            jnp.dot(q, tri, preferred_element_type=jnp.float32)
-            + prefq_ref[:, 0:1]
-        )
-        suffix = totq_ref[:, 0:1] - pref_incl
-        ra = 1.0 / one_minus
-        v_alpha = r * P_prev - suffix * ra + va_tfin * ra
-        live = included & (alpha > 0.0)
-        v_alpha = jnp.where(live, v_alpha, 0.0)
-
-        unclamped = (op * vis) <= ALPHA_CLAMP
-        v_sigma = jnp.where(unclamped, -op * vis * v_alpha, 0.0)
-        v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
-
-        v_s3 = jnp.where(use3d, v_sigma, 0.0)
-        v_s2 = jnp.where(use3d, 0.0, v_sigma)
-
-        # 3D branch: sigma = ½(tmpx² + tmpy²)·rtz² → tmp gradients, then
-        # tmp_c = t0_c + tpx_c·px + tpy_c·py distributes to the three rows
-        rtz2 = rtz * rtz
-        v_tmpx = v_s3 * tmpx * rtz2
-        v_tmpy = v_s3 * tmpy * rtz2
-        v_tmpz = -v_s3 * sigma3d * rtz
-        rows = []
-        # g_mx, g_my (2D low-pass branch: sigma = dx² + dy², dx = mx − px)
-        rows.append(jnp.sum(v_s2 * 2.0 * dx, axis=0, keepdims=True))
-        rows.append(jnp.sum(v_s2 * 2.0 * dy, axis=0, keepdims=True))
-        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_t0
-            rows.append(jnp.sum(v_t, axis=0, keepdims=True))
-        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_tpx
-            rows.append(jnp.sum(v_t * px, axis=0, keepdims=True))
-        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_tpy
-            rows.append(jnp.sum(v_t * py, axis=0, keepdims=True))
-        rows.append(jnp.sum(v_op, axis=0, keepdims=True))  # g_op
-        g_ch = jnp.dot(
-            vch_ref[:, :], w, preferred_element_type=jnp.float32
-        )  # [DA, G]
-        if g_d_extra is not None:
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (DA, 1), 0) == depth_row
-            ).astype(jnp.float32)
-            g_ch = g_ch + onehot * jnp.sum(g_d_extra, axis=0, keepdims=True)
-        out = jnp.concatenate(rows + [g_ch], axis=0)  # [12 + DA, G]
-        pad_rows = obuf.shape[1] - out.shape[0]
-        if pad_rows:
-            out = jnp.concatenate(
-                [out, jnp.zeros((pad_rows, out.shape[1]), out.dtype)], axis=0
-            )
-        obuf[slot] = out
-        dma_out(j, slot).start()
-
-        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
-        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
-        return ()
-
-    jax.lax.fori_loop(0, n_chunks, body, ())
-
-    @pl.when(n_chunks >= 2)
-    def _():
-        dma_out(n_chunks - 2, (n_chunks - 2) % 2).wait()
-
-    @pl.when(n_chunks >= 1)
-    def _():
-        dma_out(n_chunks - 1, (n_chunks - 1) % 2).wait()
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
-def _raster_2dgs_core(
-    packed,  # [F_pad, capacity] f32
-    offsets,  # [T+1] int32 chunk-aligned
-    tile_size: int,
-    tile_width: int,
-    tiles_per_image: int,
-    n_total_tiles: int,
-    max_chunks: int,
-    da: int,
-    depth_row: int,
-    compute_distort: bool,
-):
-    out, _ = _raster_2dgs_fwd(
-        packed, offsets, tile_size, tile_width, tiles_per_image,
-        n_total_tiles, max_chunks, da, depth_row, compute_distort,
-    )
-    return out
-
-
-def _raster_2dgs_fwd(
-    packed, offsets, tile_size, tile_width, tiles_per_image, n_total_tiles,
-    max_chunks, da, depth_row, compute_distort,
-):
-    F, capacity = packed.shape
-    DA = da
-    P = tile_size * tile_size
-    assert capacity % CHUNK == 0
-
-    kern = functools.partial(
-        _fwd_kernel_2dgs,
-        tile_size=tile_size,
-        tile_width=tile_width,
-        tiles_per_image=tiles_per_image,
-        max_chunks=max_chunks,
-        DA=DA,
-        depth_row=depth_row,
-        compute_distort=compute_distort,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_total_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[
-            pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((DA, P), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-        ],
-    )
-    acc_out, trans_out, dist_out, med_out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_total_tiles, DA, P), jnp.float32),
-            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=_use_interpret(),
-    )(offsets, packed)
-    out = (acc_out, trans_out, dist_out, med_out)
-    return out, (packed, offsets, acc_out, trans_out, dist_out)
-
-
-def _raster_2dgs_bwd(
-    tile_size, tile_width, tiles_per_image, n_total_tiles, max_chunks, da,
-    depth_row, compute_distort, residuals, grads,
-):
-    packed, offsets, acc_out, trans_out, dist_out = residuals
-    v_acc, v_trans, v_dist, _v_med = grads  # median is non-differentiable
-    F, capacity = packed.shape
-    DA = da
-    P = tile_size * tile_size
-
-    v_alpha_img = -v_trans  # [T, P, 1]
-    tot_q = jnp.sum(v_acc * acc_out, axis=1, keepdims=True).swapaxes(1, 2)
-    if compute_distort and depth_row >= 0:
-        # Σ w·r_dist over a pixel = 2·distort (see kernel docstring)
-        tot_q = tot_q + 2.0 * v_dist * dist_out
-        btot = acc_out[:, depth_row : depth_row + 1, :].swapaxes(1, 2)
-    else:
-        v_dist = jnp.zeros_like(v_trans)
-        btot = jnp.zeros_like(v_trans)
-
-    kern = functools.partial(
-        _bwd_kernel_2dgs,
-        tile_size=tile_size,
-        tile_width=tile_width,
-        tiles_per_image=tiles_per_image,
-        max_chunks=max_chunks,
-        DA=DA,
-        depth_row=depth_row,
-        compute_distort=compute_distort,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_total_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # tfinal
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # tot_q
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # btot
-            pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # v_acc
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # v_alpha_img
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # v_dist
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        scratch_shapes=[
-            pltpu.VMEM((2, F, CHUNK), jnp.float32),
-            pltpu.VMEM((2, F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-        ],
-    )
-    (v_packed,) = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((F, capacity), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=_use_interpret(),
-    )(offsets, packed, trans_out, tot_q, btot, v_acc, v_alpha_img, v_dist)
-    # mask entries the kernel never wrote (same rule as the 3DGS bwd)
-    from tdgs.ops.rasterize_pallas_packed import _processed_mask
-
-    v_packed = jnp.where(
-        _processed_mask(offsets, capacity, max_chunks)[None, :], v_packed, 0.0
-    )
-    return v_packed, None
-
-
-_raster_2dgs_core.defvjp(_raster_2dgs_fwd, _raster_2dgs_bwd)
-
-
 def rasterize_to_pixels_2dgs_packed(
     means2d: jnp.ndarray,  # [..., N, 2]
     ray_transforms: jnp.ndarray,  # [..., N, 3, 3]
@@ -819,21 +374,13 @@ def rasterize_to_pixels_2dgs_packed(
         ],
         axis=-1,
     )
-    from tdgs.ops.tiling import align_isect_ranges, scatter_align_entries
-
+    # UNALIGNED stream — no realignment pass (see the 3DGS wrapper's note:
+    # the aligned re-layout cost +CHUNK·T stream entries)
     capacity = flatten_ids.shape[0]
-    pad = (-capacity) % CHUNK
-    if pad:
-        flatten_ids = jnp.pad(flatten_ids, (0, pad))
-        capacity += pad
-    unaligned_offsets = offsets
-    offsets, chunk_starts, entry_valid = align_isect_ranges(
-        offsets, capacity, chunk=CHUNK, tile_capacity=tile_capacity
-    )
-    aligned_capacity = entry_valid.shape[0]
-    ids = scatter_align_entries(
-        flatten_ids, unaligned_offsets, offsets, aligned_capacity, fill=0
-    )
+    pad = (-capacity) % CHUNK + CHUNK  # slack so the last window DMA fits
+    ids = jnp.pad(flatten_ids, (0, pad))
+    capacity += pad
+    entry_valid = jnp.arange(capacity, dtype=jnp.int32) < offsets[-1]
     ids = jnp.where(entry_valid, ids, 0)
     feats = jax.lax.optimization_barrier(feats)
     rows = feats[ids]  # flat row gather; VJP = deterministic segment-sum
@@ -842,9 +389,8 @@ def rasterize_to_pixels_2dgs_packed(
     packed = packed.at[11:12, :].multiply(
         entry_valid[None, :].astype(packed.dtype)
     )
-    capacity = packed.shape[1]
 
-    acc_out, trans_out, dist_out, med_out = _raster_2dgs_core(
+    acc_out, trans_out, dist_out, med_out = _raster_2dgs_unaligned_core(
         packed, offsets, tile_size, tile_width, tile_width * tile_height,
         T_total, max(tile_capacity // CHUNK, 1), DA, depth_row,
         compute_distort and has_depth,
@@ -876,3 +422,555 @@ def rasterize_to_pixels_2dgs_packed(
         dst.reshape(shp + (1,)),
         med.reshape(shp + (1,)),
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentiable UNALIGNED 2DGS path: training without the realignment pass
+# (same cross-tile carry-chunk protocol as the 3DGS kernel — see the long
+# comment in rasterize_pallas_packed above _bwd_kernel_unaligned)
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_2dgs_train(
+    offs_ref,  # scalar prefetch [T+1] UNALIGNED offsets
+    packed_ref, color_out_ref, trans_out_ref, dist_out_ref, med_out_ref,
+    buf, sems, acc_ref, lograw_ref, logeff_ref, aprev_ref, bprev_ref,
+    dist_ref, med_ref, *,
+    tile_size: int, tile_width: int, tiles_per_image: int,
+    max_chunks: int, DA: int, depth_row: int, compute_distort: bool,
+):
+    """Training forward: _fwd_kernel_2dgs_unaligned's 3-slot rolled-window
+    read plus the aligned kernel's distortion / median-depth accumulators."""
+    t = pl.program_id(0)
+    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
+    tri = _tri_upper_incl(CHUNK)
+    tri_x = _tri_strict_upper(CHUNK)
+    lanes = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_size * tile_size, CHUNK), 1
+    )
+
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+    count = jnp.minimum(end - start, max_chunks * CHUNK)
+    astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    s0 = start - astart
+    n = pl.cdiv(count, CHUNK)
+    span = pl.cdiv(s0 + count, CHUNK)
+
+    acc_ref[:, :] = jnp.zeros_like(acc_ref)
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
+    logeff_ref[:, :] = jnp.zeros_like(logeff_ref)
+    aprev_ref[:, :] = jnp.zeros_like(aprev_ref)
+    bprev_ref[:, :] = jnp.zeros_like(bprev_ref)
+    dist_ref[:, :] = jnp.zeros_like(dist_ref)
+    med_ref[:, :] = jnp.zeros_like(med_ref)
+
+    def dma(j):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(astart + j * CHUNK, CHUNK)],
+            buf.at[j % 3],
+            sems.at[j % 3],
+        )
+
+    @pl.when(span > 0)
+    def _():
+        dma(0).start()
+
+    @pl.when(span > 1)
+    def _():
+        dma(1).start()
+
+    @pl.when(span > 0)
+    def _():
+        dma(0).wait()
+
+    def body(k, _):
+        @pl.when(k + 2 < span)
+        def _():
+            dma(k + 2).start()
+
+        @pl.when(k + 1 < span)
+        def _():
+            dma(k + 1).wait()
+
+        combined = jnp.concatenate([buf[k % 3], buf[(k + 1) % 3]], axis=1)
+        window = pltpu.roll(combined, -s0, 1)[:, :CHUNK]
+        in_range = lanes[0:1, :] + k * CHUNK < count
+        window = jnp.where(in_range, window, 0.0)
+
+        not_done = jnp.max(lograw_ref[:, 0:1]) > jnp.log(TRANSMITTANCE_EPS)
+
+        @pl.when(not_done)
+        def _():
+            alpha, ch = _chunk_values_2dgs(window, px, py, DA)
+            alpha = jnp.where(in_range, alpha, 0.0)
+            logs = jnp.log1p(-alpha)
+            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+            logP = S + lograw_ref[:, 0:1]
+            included = logP > jnp.log(TRANSMITTANCE_EPS)
+            P_prev = jnp.exp(logP - logs)
+            w = jnp.where(included, alpha * P_prev, 0.0)
+            acc_ref[:, :] += jax.lax.dot_general(
+                ch, w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if depth_row >= 0:
+                d = ch[depth_row : depth_row + 1, :]
+                wd = w * d
+                if compute_distort:
+                    Ax = (
+                        jnp.dot(w, tri_x, preferred_element_type=jnp.float32)
+                        + aprev_ref[:, 0:1]
+                    )
+                    Bx = (
+                        jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
+                        + bprev_ref[:, 0:1]
+                    )
+                    dist_ref[:, :] += jnp.sum(
+                        2.0 * w * (d * Ax - Bx), axis=1, keepdims=True
+                    )
+                    aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
+                    bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
+                m = (P_prev > 0.5) & (w > 0.0)
+                idx = jnp.max(
+                    jnp.where(m, lanes, -1), axis=1, keepdims=True
+                )
+                dmed = jnp.sum(
+                    jnp.where(lanes == idx, d, 0.0), axis=1, keepdims=True
+                )
+                med_ref[:, :] = jnp.where(idx >= 0, dmed, med_ref[:, :])
+            lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+            logeff_ref[:, :] += jnp.sum(
+                jnp.where(included, logs, 0.0), axis=1, keepdims=True
+            )
+
+        return ()
+
+    jax.lax.fori_loop(0, n, body, ())
+
+    color_out_ref[:, :] = acc_ref[:, :]
+    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
+    dist_out_ref[:, :] = dist_ref[:, :]
+    med_out_ref[:, :] = med_ref[:, :]
+
+
+def _bwd_kernel_2dgs_unaligned(
+    offs_ref,  # scalar prefetch [T+1] UNALIGNED offsets
+    packed_ref,  # [F, capacity_pad] ANY (raw sorted order)
+    tfinal_ref,  # [P, 1]
+    totq_ref,  # [P, 1]
+    btot_ref,  # [P, 1]
+    vch_ref,  # [DA, P]
+    valp_ref,  # [P, 1]
+    vdist_ref,  # [P, 1]
+    vpacked_ref,  # out [F, capacity_pad] ANY
+    buf,  # scratch [3, F, CHUNK] input slots
+    sems,  # DMA sems (3,)
+    obuf,  # scratch [2, F, CHUNK] flush slots
+    osems,  # DMA sems (2,)
+    cbuf,  # scratch [F, CHUNK] carry chunk (persists across tiles)
+    cflag,  # scratch SMEM [1] int32 carry-valid flag (persists)
+    lograw_ref,  # [P, 1]
+    prefq_ref,  # [P, 1]
+    aprev_ref,  # [P, 1]
+    bprev_ref,  # [P, 1]
+    *,
+    tile_size: int, tile_width: int, tiles_per_image: int,
+    max_chunks: int, DA: int, depth_row: int, compute_distort: bool,
+):
+    t = pl.program_id(0)
+    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
+    tri = _tri_upper_incl(CHUNK)
+    tri_x = _tri_strict_upper(CHUNK)
+
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+    raw_count = end - start
+    count = jnp.minimum(raw_count, max_chunks * CHUNK)
+    truncated = raw_count > max_chunks * CHUNK
+    astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    s0 = start - astart
+    n = pl.cdiv(count, CHUNK)  # compute windows
+    span = pl.cdiv(s0 + count, CHUNK)  # aligned input chunks
+    m = (s0 + count) // CHUNK  # chunks this tile completes
+
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
+    prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
+    aprev_ref[:, :] = jnp.zeros_like(aprev_ref)
+    bprev_ref[:, :] = jnp.zeros_like(bprev_ref)
+    va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]
+    a_tot = 1.0 - tfinal_ref[:, 0:1]
+
+    @pl.when(t == 0)
+    def _():
+        cbuf[:, :] = jnp.zeros_like(cbuf)
+        cflag[0] = 1
+
+    @pl.when((cflag[0] == 0) & (count > 0))
+    def _():
+        cbuf[:, :] = jnp.zeros_like(cbuf)
+        cflag[0] = 1
+
+    def dma_in(j):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(astart + j * CHUNK, CHUNK)],
+            buf.at[j % 3],
+            sems.at[j % 3],
+        )
+
+    def dma_out(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            vpacked_ref.at[:, pl.ds(chunk_idx * CHUNK, CHUNK)],
+            osems.at[slot],
+        )
+
+    @pl.when(span > 0)
+    def _():
+        dma_in(0).start()
+
+    @pl.when(span > 1)
+    def _():
+        dma_in(1).start()
+
+    @pl.when(span > 0)
+    def _():
+        dma_in(0).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def body(k, _):
+        @pl.when(k + 2 < span)
+        def _():
+            dma_in(k + 2).start()
+
+        @pl.when(k + 1 < span)
+        def _():
+            dma_in(k + 1).wait()
+
+        combined = jnp.concatenate([buf[k % 3], buf[(k + 1) % 3]], axis=1)
+        window = pltpu.roll(combined, -s0, 1)[:, :CHUNK]
+        in_range = lane + k * CHUNK < count
+        window = jnp.where(in_range, window, 0.0)
+
+        alpha, ch, (tmpx, tmpy, rtz, sigma3d, dx, dy, use3d, vis, op) = (
+            _chunk_values_2dgs_full(window, px, py, DA)
+        )
+        one_minus = 1.0 - alpha
+        logs = jnp.log1p(-alpha)
+        S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        logP = S + lograw_ref[:, 0:1]
+        included = logP > jnp.log(TRANSMITTANCE_EPS)
+        P_prev = jnp.exp(logP - logs)
+        w = jnp.where(included, alpha * P_prev, 0.0)
+
+        # HIGHEST is load-bearing: Mosaic runs small-K (DA) f32
+        # contractions as single bf16 MXU passes; r's ~1% error feeds the
+        # suffix cancellation (totq − pref_incl) and decorrelates the
+        # geometry grads at scale (measured cos 0.17 on quats/scales)
+        r = jax.lax.dot_general(
+            vch_ref[:, :], ch,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [P, G]
+        g_d_extra = None
+        if compute_distort and depth_row >= 0:
+            d = ch[depth_row : depth_row + 1, :]
+            wd = w * d
+            Ax = (
+                jnp.dot(w, tri_x, preferred_element_type=jnp.float32)
+                + aprev_ref[:, 0:1]
+            )
+            Bx = (
+                jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
+                + bprev_ref[:, 0:1]
+            )
+            vd = vdist_ref[:, 0:1]
+            r_dist = 2.0 * (d * Ax - Bx) + 2.0 * (
+                (btot_ref[:, 0:1] - Bx - wd) - d * (a_tot - Ax - w)
+            )
+            r = r + vd * r_dist
+            g_d_extra = vd * (2.0 * w * (2.0 * Ax + w - a_tot))  # [P, G]
+            aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
+            bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
+
+        q = w * r
+        pref_incl = (
+            jnp.dot(q, tri, preferred_element_type=jnp.float32)
+            + prefq_ref[:, 0:1]
+        )
+        suffix = totq_ref[:, 0:1] - pref_incl
+        ra = 1.0 / one_minus
+        v_alpha = r * P_prev - suffix * ra + va_tfin * ra
+        live = included & (alpha > 0.0)
+        v_alpha = jnp.where(live, v_alpha, 0.0)
+
+        unclamped = (op * vis) <= ALPHA_CLAMP
+        v_sigma = jnp.where(unclamped, -op * vis * v_alpha, 0.0)
+        v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
+
+        v_s3 = jnp.where(use3d, v_sigma, 0.0)
+        v_s2 = jnp.where(use3d, 0.0, v_sigma)
+
+        rtz2 = rtz * rtz
+        v_tmpx = v_s3 * tmpx * rtz2
+        v_tmpy = v_s3 * tmpy * rtz2
+        v_tmpz = -v_s3 * sigma3d * rtz
+        rows = []
+        rows.append(jnp.sum(v_s2 * 2.0 * dx, axis=0, keepdims=True))
+        rows.append(jnp.sum(v_s2 * 2.0 * dy, axis=0, keepdims=True))
+        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_t0
+            rows.append(jnp.sum(v_t, axis=0, keepdims=True))
+        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_tpx
+            rows.append(jnp.sum(v_t * px, axis=0, keepdims=True))
+        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_tpy
+            rows.append(jnp.sum(v_t * py, axis=0, keepdims=True))
+        rows.append(jnp.sum(v_op, axis=0, keepdims=True))  # g_op
+        g_ch = jnp.dot(
+            vch_ref[:, :], w, preferred_element_type=jnp.float32
+        )  # [DA, G]
+        if g_d_extra is not None:
+            onehot = (
+                jax.lax.broadcasted_iota(jnp.int32, (DA, 1), 0) == depth_row
+            ).astype(jnp.float32)
+            g_ch = g_ch + onehot * jnp.sum(g_d_extra, axis=0, keepdims=True)
+        gout = jnp.concatenate(rows + [g_ch], axis=0)  # [12 + DA, G]
+        pad_rows = obuf.shape[1] - gout.shape[0]
+        if pad_rows:
+            gout = jnp.concatenate(
+                [gout, jnp.zeros((pad_rows, gout.shape[1]), gout.dtype)],
+                axis=0,
+            )
+        gout = jnp.where(in_range, gout, 0.0)
+        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
+        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+
+        # rotate grads back to raw chunk positions (see the 3DGS kernel)
+        rolled = pltpu.roll(gout, s0, 1)
+        complete = k * CHUNK + (CHUNK - s0) <= count
+
+        @pl.when(complete)
+        def _():
+            slot = k % 2
+
+            @pl.when(k >= 2)
+            def _():
+                dma_out(slot, astart // CHUNK + k - 2).wait()
+
+            obuf[slot] = jnp.where(lane >= s0, rolled, cbuf[:, :])
+            dma_out(slot, astart // CHUNK + k).start()
+            cbuf[:, :] = jnp.where(lane < s0, rolled, 0.0)
+
+        @pl.when(~complete)
+        def _():
+            cbuf[:, :] = jnp.where(lane < s0, cbuf[:, :], rolled)
+
+        return ()
+
+    jax.lax.fori_loop(0, n, body, ())
+
+    @pl.when(m >= 2)
+    def _():
+        dma_out((m - 2) % 2, astart // CHUNK + m - 2).wait()
+
+    @pl.when(m >= 1)
+    def _():
+        dma_out((m - 1) % 2, astart // CHUNK + m - 1).wait()
+
+    last_tile = t == pl.num_programs(0) - 1
+
+    @pl.when(truncated)
+    def _():
+        pend = (s0 + count) % CHUNK
+
+        @pl.when(pend > 0)
+        def _():
+            obuf[0] = jnp.where(lane < pend, cbuf[:, :], 0.0)
+            dma_out(0, astart // CHUNK + m).start()
+            dma_out(0, astart // CHUNK + m).wait()
+
+        gap_first = (start + count) // CHUNK + (pend > 0)
+        gap_stop = jnp.where(last_tile, pl.cdiv(end, CHUNK), end // CHUNK)
+
+        obuf[1] = jnp.zeros_like(obuf[1])
+
+        def zbody(c, _):
+            dma_out(1, c).start()
+            dma_out(1, c).wait()
+            return ()
+
+        jax.lax.fori_loop(gap_first, gap_stop, zbody, ())
+        cflag[0] = 0
+
+    @pl.when(last_tile & (~truncated))
+    def _():
+        obuf[0] = cbuf[:, :]
+        dma_out(0, (start + count) // CHUNK).start()
+        dma_out(0, (start + count) // CHUNK).wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _raster_2dgs_unaligned_core(
+    packed,  # [F_pad, capacity_pad] f32 (raw sorted order + slack)
+    offsets,  # [T+1] int32 UNALIGNED
+    tile_size: int,
+    tile_width: int,
+    tiles_per_image: int,
+    n_total_tiles: int,
+    max_chunks: int,
+    da: int,
+    depth_row: int,
+    compute_distort: bool,
+):
+    out, _ = _raster_2dgs_unaligned_fwd(
+        packed, offsets, tile_size, tile_width, tiles_per_image,
+        n_total_tiles, max_chunks, da, depth_row, compute_distort,
+    )
+    return out
+
+
+def _raster_2dgs_unaligned_fwd(
+    packed, offsets, tile_size, tile_width, tiles_per_image, n_total_tiles,
+    max_chunks, da, depth_row, compute_distort,
+):
+    F, capacity = packed.shape
+    DA = da
+    P = tile_size * tile_size
+    assert capacity % CHUNK == 0
+
+    kern = functools.partial(
+        _fwd_kernel_2dgs_train,
+        tile_size=tile_size,
+        tile_width=tile_width,
+        tiles_per_image=tiles_per_image,
+        max_chunks=max_chunks,
+        DA=DA,
+        depth_row=depth_row,
+        compute_distort=compute_distort,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((DA, P), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    acc_out, trans_out, dist_out, med_out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_total_tiles, DA, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed)
+    out = (acc_out, trans_out, dist_out, med_out)
+    return out, (packed, offsets, acc_out, trans_out, dist_out)
+
+
+def _raster_2dgs_unaligned_bwd(
+    tile_size, tile_width, tiles_per_image, n_total_tiles, max_chunks, da,
+    depth_row, compute_distort, residuals, grads,
+):
+    packed, offsets, acc_out, trans_out, dist_out = residuals
+    v_acc, v_trans, v_dist, _v_med = grads  # median is non-differentiable
+    F, capacity = packed.shape
+    DA = da
+    P = tile_size * tile_size
+
+    v_alpha_img = -v_trans
+    tot_q = jnp.sum(v_acc * acc_out, axis=1, keepdims=True).swapaxes(1, 2)
+    if compute_distort and depth_row >= 0:
+        tot_q = tot_q + 2.0 * v_dist * dist_out
+        btot = acc_out[:, depth_row : depth_row + 1, :].swapaxes(1, 2)
+    else:
+        v_dist = jnp.zeros_like(v_trans)
+        btot = jnp.zeros_like(v_trans)
+
+    kern = functools.partial(
+        _bwd_kernel_2dgs_unaligned,
+        tile_size=tile_size,
+        tile_width=tile_width,
+        tiles_per_image=tiles_per_image,
+        max_chunks=max_chunks,
+        DA=DA,
+        depth_row=depth_row,
+        compute_distort=compute_distort,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # packed
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # tfinal
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # tot_q
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # btot
+            pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_acc
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_alpha_img
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_dist
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((3, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((F, CHUNK), jnp.float32),  # carry chunk
+            pltpu.SMEM((1,), jnp.int32),  # carry-valid flag
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    (v_packed,) = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((F, capacity), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed, trans_out, tot_q, btot, v_acc, v_alpha_img, v_dist)
+    # the padded tail beyond offsets[-1] is never flushed — zero it before
+    # the gather-VJP scatter-add (padding ids point at gaussian 0)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < offsets[-1]
+    v_packed = jnp.where(valid[None, :], v_packed, 0.0)
+    return v_packed, None
+
+
+_raster_2dgs_unaligned_core.defvjp(
+    _raster_2dgs_unaligned_fwd, _raster_2dgs_unaligned_bwd
+)

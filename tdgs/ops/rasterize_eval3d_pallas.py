@@ -22,10 +22,11 @@ matmuls on the MXU — the per-pixel ray rows (d, o') arrive as a per-tile
 VMEM block, the per-entry rows (w, mAm, p6, opacity, colors) stream with
 the entries.
 
-Scope: forward only (rendering/serving — the reference's eval3d training
-path stays on the differentiable jnp rasterizer). Supports every camera
-model + rolling-shutter mode the jnp path does, since pixel rays are
-precomputed on the XLA side.
+Fully differentiable: the custom-VJP pair below propagates gradients to
+the per-entry features AND the per-tile ray rows (TPU counterpart of
+RasterizeToPixelsFromWorld3DGSBwd.cu:592), so 3DGUT training runs on the
+fast path too. Supports every camera model + rolling-shutter mode the
+jnp path does, since pixel rays are precomputed on the XLA side.
 """
 
 from __future__ import annotations
@@ -135,11 +136,15 @@ def _fwd_kernel_eval3d_unaligned(
         dma(0).wait()
 
     def mm(lhs_rows, rhs_rows):
-        # [r, P]ᵀ × [r, G] → [P, G] on the MXU
+        # [r, P]ᵀ × [r, G] → [P, G]. HIGHEST is load-bearing: Mosaic
+        # runs small-K (3/6) f32 contractions as single bf16 MXU passes
+        # (~1% error), and σ* = ½(gg − gr²/rr) cancels ~1e4-magnitude
+        # quadratic forms — bf16 there corrupts α entirely (measured).
         return jax.lax.dot_general(
             lhs_rows, rhs_rows,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def body(k, _):
@@ -276,7 +281,7 @@ def _tile_rays_world(
     return d, o_prime, o_ref, img_of_tile
 
 
-def rasterize_to_pixels_eval3d_packed_inference(
+def rasterize_to_pixels_eval3d_packed(
     means: jnp.ndarray,  # [N, 3] world-space
     quats: jnp.ndarray,  # [N, 4] wxyz
     scales: jnp.ndarray,  # [N, 3]
@@ -299,9 +304,14 @@ def rasterize_to_pixels_eval3d_packed_inference(
     rolling_shutter: RollingShutterType = RollingShutterType.GLOBAL,
     viewmats_rs: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Forward-only packed eval3d rasterization. Returns
+    """Packed eval3d rasterization (differentiable). Returns
     (render_colors [I, H, W, D], render_alphas [I, H, W, 1]).
-    NOT differentiable (training uses rasterize_to_pixels_eval3d_jax)."""
+
+    Despite the historical ``_inference`` name this path is fully
+    differentiable: the custom-VJP core propagates gradients to the
+    per-entry features and the per-tile rays, and the jnp feature/ray
+    construction chains them to means/quats/scales/opacities/colors and
+    camera poses (counterpart of RasterizeToPixelsFromWorld3DGSBwd.cu)."""
     I = viewmats.shape[0]
     N = means.shape[0]
     D = colors.shape[-1]
@@ -358,45 +368,9 @@ def rasterize_to_pixels_eval3d_packed_inference(
     feats = jax.lax.optimization_barrier(feats)
     packed = jax.lax.optimization_barrier(feats[flatten_ids]).T
 
-    kern = functools.partial(
-        _fwd_kernel_eval3d_unaligned,
-        max_chunks=max(tile_capacity // CHUNK, 1),
-        D=D,
+    colors_out, trans_out = _raster_eval3d_core(
+        packed, rays, offsets, T_total, max(tile_capacity // CHUNK, 1), D, P,
     )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T_total,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((None, 8, P), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((3, F_pad, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.VMEM((D, P), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-        ],
-    )
-    colors_out, trans_out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((T_total, D, P), jnp.float32),
-            jax.ShapeDtypeStruct((T_total, P, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=_use_interpret(),
-    )(offsets, packed, rays)
 
     pad_h, pad_w = tile_height * tile_size, tile_width * tile_size
     img = colors_out.reshape(I, tile_height, tile_width, D, tile_size,
@@ -410,3 +384,455 @@ def rasterize_to_pixels_eval3d_packed_inference(
     if backgrounds is not None:
         img = img + (1.0 - alp[..., None]) * backgrounds.reshape(I, 1, 1, D)
     return img, alp[..., None]
+
+
+# ---------------------------------------------------------------------------
+# Differentiable eval3d path (training): custom-VJP Pallas pair.
+# TPU counterpart of RasterizeToPixelsFromWorld3DGSBwd.cu:592 — gradients
+# flow to every packed per-entry feature (w = Σ⁻¹μ', mAm, prec6, opacity,
+# colors) and to the per-tile ray rows (d, o'), so XLA's autodiff chains
+# them back to means/quats/scales/opacities/colors AND camera poses. The
+# write side uses the same cross-tile carry-chunk protocol as the 3DGS
+# kernel (rasterize_pallas_packed._bwd_kernel_unaligned).
+#
+# Chain (same σ* factorization as the forward):
+#   v_σ   = −op·vis·v_α                (gated: unclamped, σ>0, live)
+#   v_gg  = ½ v_σ,  v_gr = −(gr/rr)·v_σ,  v_rr = ½(gr/rr)²·v_σ
+#   v_w   = −d·v_gr − 2o·v_gg                     [3,P]×[P,G] MXU
+#   v_p6  = od6·v_gr + dd6·v_rr + oo6·v_gg        [6,P]×[P,G]
+#   v_mAm = Σ_p v_gg,  v_op = Σ_p vis·v_α
+#   v_d   = (Σ_g P v_gr)·o − Σ_g w·v_gr + 2(Σ_g P v_rr)·d
+#   v_o   = (Σ_g P v_gr)·d + 2[(Σ_g P v_gg)·o − Σ_g w·v_gg]
+# where Σ_g P·x contractions run as [6,G]×[G,P] matmuls against prec6.
+
+
+def _pv(G6, vec):
+    """Apply the pixel-wise symmetric matrix Σ_g P_g·coef (given as 6 rows
+    in prec6 order [p00,p11,p22,2p01,2p02,2p12]) to vec [3, P] → [3, P]."""
+    return jnp.concatenate(
+        [
+            G6[0:1] * vec[0:1] + 0.5 * G6[3:4] * vec[1:2]
+            + 0.5 * G6[4:5] * vec[2:3],
+            0.5 * G6[3:4] * vec[0:1] + G6[1:2] * vec[1:2]
+            + 0.5 * G6[5:6] * vec[2:3],
+            0.5 * G6[4:5] * vec[0:1] + 0.5 * G6[5:6] * vec[1:2]
+            + G6[2:3] * vec[2:3],
+        ],
+        axis=0,
+    )
+
+
+def _bwd_kernel_eval3d_unaligned(
+    offs_ref,  # scalar prefetch [T+1] UNALIGNED offsets
+    packed_ref,  # [F, capacity_pad] ANY (raw sorted order)
+    rays_ref,  # [8, P] VMEM: rows 0:3 d_world, 3:6 o'
+    tfinal_ref,  # [P, 1]
+    totq_ref,  # [P, 1]
+    vcol_ref,  # [D, P]
+    valp_ref,  # [P, 1]
+    vpacked_ref,  # out [Fv, capacity_pad] ANY
+    vrays_ref,  # out [8, P] VMEM
+    buf,  # scratch [3, F, CHUNK] input slots
+    sems,  # DMA sems (3,)
+    obuf,  # scratch [2, Fv, CHUNK] flush slots
+    osems,  # DMA sems (2,)
+    cbuf,  # scratch [Fv, CHUNK] carry chunk (persists across tiles)
+    cflag,  # scratch SMEM [1] int32 carry-valid flag (persists)
+    lograw_ref,  # [P, 1]
+    prefq_ref,  # [P, 1]
+    *,
+    max_chunks: int,
+    D: int,
+    Fv: int,
+):
+    t = pl.program_id(0)
+    tri = _tri_upper_incl(CHUNK)
+
+    start = offs_ref[t]
+    end = offs_ref[t + 1]
+    raw_count = end - start
+    count = jnp.minimum(raw_count, max_chunks * CHUNK)
+    truncated = raw_count > max_chunks * CHUNK
+    astart = pl.multiple_of((start // CHUNK) * CHUNK, CHUNK)
+    s0 = start - astart
+    n = pl.cdiv(count, CHUNK)
+    span = pl.cdiv(s0 + count, CHUNK)
+    m = (s0 + count) // CHUNK
+
+    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
+    prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
+    vrays_ref[:, :] = jnp.zeros_like(vrays_ref)
+    va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]
+
+    d = rays_ref[0:3, :]  # [3, P]
+    o = rays_ref[3:6, :]
+    dd6 = _sym6_rows(d, d)
+    oo6 = _sym6_rows(o, o)
+    od6 = _sym6_rows(o, d)
+
+    @pl.when(t == 0)
+    def _():
+        cbuf[:, :] = jnp.zeros_like(cbuf)
+        cflag[0] = 1
+
+    @pl.when((cflag[0] == 0) & (count > 0))
+    def _():
+        cbuf[:, :] = jnp.zeros_like(cbuf)
+        cflag[0] = 1
+
+    def dma_in(j):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(astart + j * CHUNK, CHUNK)],
+            buf.at[j % 3],
+            sems.at[j % 3],
+        )
+
+    def dma_out(slot, chunk_idx):
+        return pltpu.make_async_copy(
+            obuf.at[slot],
+            vpacked_ref.at[:, pl.ds(chunk_idx * CHUNK, CHUNK)],
+            osems.at[slot],
+        )
+
+    @pl.when(span > 0)
+    def _():
+        dma_in(0).start()
+
+    @pl.when(span > 1)
+    def _():
+        dma_in(1).start()
+
+    @pl.when(span > 0)
+    def _():
+        dma_in(0).wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def mm(lhs_rows, rhs_rows):
+        # [r, P]ᵀ × [r, G] → [P, G]; HIGHEST for the same cancellation
+        # reason as the forward kernel's mm (see comment there)
+        return jax.lax.dot_general(
+            lhs_rows, rhs_rows,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    # HIGHEST on the gradient contractions is load-bearing, not hygiene:
+    # σ* cancels ~1e4-magnitude quadratic forms to O(1), so its gradient
+    # splits into v_w / v_p6 / v_mAm chains that must cancel the same way
+    # when XLA re-sums them per gaussian — bf16-level (1%) noise in these
+    # sums leaves ~1%·1e4 ≈ 100× errors on the geometry grads (measured:
+    # scales grads decorrelated to cosine 0.02 before this fix).
+    def mmp(lhs_rows, v_pg):
+        # [r, P] × [P, G] → [r, G] (contract pixels)
+        return jax.lax.dot_general(
+            lhs_rows, v_pg,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def mmg(ent_rows, v_pg):
+        # [r, G] × [P, G] → [r, P] (contract entries)
+        return jax.lax.dot_general(
+            ent_rows, v_pg,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def body(k, _):
+        @pl.when(k + 2 < span)
+        def _():
+            dma_in(k + 2).start()
+
+        @pl.when(k + 1 < span)
+        def _():
+            dma_in(k + 1).wait()
+
+        combined = jnp.concatenate([buf[k % 3], buf[(k + 1) % 3]], axis=1)
+        window = pltpu.roll(combined, -s0, 1)[:, :CHUNK]
+        in_range = lane + k * CHUNK < count
+        window = jnp.where(in_range, window, 0.0)
+
+        w_rows = window[0:3, :]  # [3, G] Σ⁻¹μ'
+        mAm = window[3:4, :]
+        p6 = window[4:10, :]
+        op = window[10:11, :]
+        colors = window[11 : 11 + D, :]
+
+        # recompute the forward response
+        gr = mm(od6, p6) - mm(d, w_rows)  # [P, G]
+        rr_raw = mm(dd6, p6)
+        rr = jnp.maximum(rr_raw, 1e-12)
+        gg = mm(oo6, p6) - 2.0 * mm(o, w_rows) + mAm
+        sigma = 0.5 * (gg - gr * gr / rr)
+        vis = jnp.exp(-jnp.maximum(sigma, 0.0))
+        alpha_raw = op * vis
+        alpha = jnp.minimum(ALPHA_CLAMP, alpha_raw)
+        alpha = jnp.where(
+            (gr < 0.0) & (alpha >= ALPHA_THRESHOLD) & in_range, alpha, 0.0
+        )
+
+        one_minus = 1.0 - alpha
+        logs = jnp.log1p(-alpha)
+        S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+        logP = S + lograw_ref[:, 0:1]
+        included = logP > jnp.log(TRANSMITTANCE_EPS)
+        P_prev = jnp.exp(logP - logs)
+        wgt = jnp.where(included, alpha * P_prev, 0.0)
+
+        r = mm(vcol_ref[:, :], colors)  # [P, G]
+        q = wgt * r
+        pref_incl = (
+            jnp.dot(q, tri, preferred_element_type=jnp.float32)
+            + prefq_ref[:, 0:1]
+        )
+        suffix = totq_ref[:, 0:1] - pref_incl
+        ra = 1.0 / one_minus
+        v_alpha = r * P_prev - suffix * ra + va_tfin * ra
+        live = included & (alpha > 0.0)
+        v_alpha = jnp.where(live, v_alpha, 0.0)
+
+        unclamped = alpha_raw <= ALPHA_CLAMP
+        v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
+        v_sigma = jnp.where(
+            unclamped & (sigma > 0.0), -alpha_raw * v_alpha, 0.0
+        )
+        v_gg = 0.5 * v_sigma
+        gr_rr = gr / rr
+        v_gr = -gr_rr * v_sigma
+        v_rr = jnp.where(
+            rr_raw >= 1e-12, 0.5 * gr_rr * gr_rr * v_sigma, 0.0
+        )
+
+        # per-entry feature grads
+        v_w = -mmp(d, v_gr) - 2.0 * mmp(o, v_gg)  # [3, G]
+        v_mAm = jnp.sum(v_gg, axis=0, keepdims=True)  # [1, G]
+        v_p6 = mmp(od6, v_gr) + mmp(dd6, v_rr) + mmp(oo6, v_gg)  # [6, G]
+        v_op_row = jnp.sum(v_op, axis=0, keepdims=True)
+        v_colors = jnp.dot(
+            vcol_ref[:, :], wgt, preferred_element_type=jnp.float32
+        )  # [D, G]
+        gout = jnp.concatenate(
+            [v_w, v_mAm, v_p6, v_op_row, v_colors], axis=0
+        )  # [11 + D, G]
+        if Fv > gout.shape[0]:
+            gout = jnp.concatenate(
+                [gout, jnp.zeros((Fv - gout.shape[0], CHUNK), jnp.float32)],
+                axis=0,
+            )
+        gout = jnp.where(in_range, gout, 0.0)
+
+        # per-tile ray grads (pixel-wise contractions over entries)
+        G6_gr = mmg(p6, v_gr)  # [6, P] = Σ_g prec6·v_gr
+        G6_gg = mmg(p6, v_gg)
+        G6_rr = mmg(p6, v_rr)
+        W3_gr = mmg(w_rows, v_gr)  # [3, P] = Σ_g w·v_gr
+        W3_gg = mmg(w_rows, v_gg)
+        v_d = _pv(G6_gr, o) - W3_gr + 2.0 * _pv(G6_rr, d)
+        v_o = _pv(G6_gr, d) + 2.0 * (_pv(G6_gg, o) - W3_gg)
+        vrays_ref[0:3, :] += v_d
+        vrays_ref[3:6, :] += v_o
+
+        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
+        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+
+        # rotate grads back to raw chunk positions (see the 3DGS kernel)
+        rolled = pltpu.roll(gout, s0, 1)
+        complete = k * CHUNK + (CHUNK - s0) <= count
+
+        @pl.when(complete)
+        def _():
+            slot = k % 2
+
+            @pl.when(k >= 2)
+            def _():
+                dma_out(slot, astart // CHUNK + k - 2).wait()
+
+            obuf[slot] = jnp.where(lane >= s0, rolled, cbuf[:, :])
+            dma_out(slot, astart // CHUNK + k).start()
+            cbuf[:, :] = jnp.where(lane < s0, rolled, 0.0)
+
+        @pl.when(~complete)
+        def _():
+            cbuf[:, :] = jnp.where(lane < s0, cbuf[:, :], rolled)
+
+        return ()
+
+    jax.lax.fori_loop(0, n, body, ())
+
+    @pl.when(m >= 2)
+    def _():
+        dma_out((m - 2) % 2, astart // CHUNK + m - 2).wait()
+
+    @pl.when(m >= 1)
+    def _():
+        dma_out((m - 1) % 2, astart // CHUNK + m - 1).wait()
+
+    last_tile = t == pl.num_programs(0) - 1
+
+    @pl.when(truncated)
+    def _():
+        pend = (s0 + count) % CHUNK
+
+        @pl.when(pend > 0)
+        def _():
+            obuf[0] = jnp.where(lane < pend, cbuf[:, :], 0.0)
+            dma_out(0, astart // CHUNK + m).start()
+            dma_out(0, astart // CHUNK + m).wait()
+
+        gap_first = (start + count) // CHUNK + (pend > 0)
+        gap_stop = jnp.where(last_tile, pl.cdiv(end, CHUNK), end // CHUNK)
+
+        obuf[1] = jnp.zeros_like(obuf[1])
+
+        def zbody(c, _):
+            dma_out(1, c).start()
+            dma_out(1, c).wait()
+            return ()
+
+        jax.lax.fori_loop(gap_first, gap_stop, zbody, ())
+        cflag[0] = 0
+
+    @pl.when(last_tile & (~truncated))
+    def _():
+        obuf[0] = cbuf[:, :]
+        dma_out(0, (start + count) // CHUNK).start()
+        dma_out(0, (start + count) // CHUNK).wait()
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _raster_eval3d_core(
+    packed,  # [F_pad, capacity_pad] f32 (raw sorted order + slack)
+    rays,  # [T, 8, P] f32 (rows 0:3 d_world, 3:6 o')
+    offsets,  # [T+1] int32 UNALIGNED
+    n_total_tiles: int,
+    max_chunks: int,
+    d: int,
+    p: int,
+):
+    out, _ = _raster_eval3d_fwd(
+        packed, rays, offsets, n_total_tiles, max_chunks, d, p
+    )
+    return out
+
+
+def _raster_eval3d_fwd(packed, rays, offsets, n_total_tiles, max_chunks, d, p):
+    F, capacity = packed.shape
+    D = d
+    P = p
+    assert capacity % CHUNK == 0
+
+    kern = functools.partial(
+        _fwd_kernel_eval3d_unaligned, max_chunks=max_chunks, D=D,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((None, 8, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((D, P), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    colors_out, trans_out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_total_tiles, D, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed, rays)
+    return (colors_out, trans_out), (packed, rays, offsets, colors_out,
+                                     trans_out)
+
+
+def _raster_eval3d_bwd(n_total_tiles, max_chunks, d, p, residuals, grads):
+    packed, rays, offsets, colors_out, trans_out = residuals
+    v_colors_out, v_trans_out = grads
+    F, capacity = packed.shape
+    D = d
+    P = p
+    Fv = F
+
+    v_alpha_img = -v_trans_out
+    tot_q = jnp.sum(
+        v_colors_out * colors_out, axis=1, keepdims=True
+    ).swapaxes(1, 2)
+
+    kern = functools.partial(
+        _bwd_kernel_eval3d_unaligned, max_chunks=max_chunks, D=D, Fv=Fv,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # packed
+            pl.BlockSpec((None, 8, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # rays
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # tfinal
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # tot_q
+            pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_colors_out
+            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_alpha_img
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # v_packed
+            pl.BlockSpec((None, 8, P), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # v_rays
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, F, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((2, Fv, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((Fv, CHUNK), jnp.float32),  # carry chunk
+            pltpu.SMEM((1,), jnp.int32),  # carry-valid flag
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+    )
+    v_packed, v_rays = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((Fv, capacity), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, 8, P), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=_use_interpret(),
+    )(offsets, packed, rays, trans_out, tot_q, v_colors_out, v_alpha_img)
+    valid = jnp.arange(capacity, dtype=jnp.int32) < offsets[-1]
+    v_packed = jnp.where(valid[None, :], v_packed, 0.0)
+    return v_packed, v_rays, None
+
+
+_raster_eval3d_core.defvjp(_raster_eval3d_fwd, _raster_eval3d_bwd)
+
+
+# historical name (the path is differentiable; see the wrapper docstring)
+rasterize_to_pixels_eval3d_packed_inference = rasterize_to_pixels_eval3d_packed

@@ -102,411 +102,8 @@ def _chunk_values(buf, px, py, D: int):
     return alpha, vis, dx, dy, (ca, cb, cc, op), colors
 
 
-def _fwd_kernel(
-    offs_ref,  # scalar prefetch [T+1]
-    packed_ref,  # [F, capacity] in ANY/HBM
-    color_out_ref,  # [D, P]
-    trans_out_ref,  # [P, 1]
-    buf,  # scratch [2, F, CHUNK]
-    sems,  # DMA sems (2,)
-    acc_ref,  # scratch [D, P]
-    lograw_ref,  # [P, 1]
-    logeff_ref,  # [P, 1]
-    *,
-    tile_size: int,
-    tile_width: int,
-    tiles_per_image: int,
-    max_chunks: int,
-    D: int,
-):
-    t = pl.program_id(0)
-    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
-    tri = _tri_upper_incl(CHUNK)
-
-    # offsets are CHUNK-aligned by construction (align_isect_ranges)
-    start = pl.multiple_of(offs_ref[t], CHUNK)
-    end = pl.multiple_of(offs_ref[t + 1], CHUNK)
-    count = jnp.minimum(end - start, max_chunks * CHUNK)
-    n_chunks = count // CHUNK
-
-    acc_ref[:, :] = jnp.zeros_like(acc_ref)
-    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
-    logeff_ref[:, :] = jnp.zeros_like(logeff_ref)
-
-    def dma(j, slot):
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
-
-    @pl.when(n_chunks > 0)
-    def _():
-        dma(0, 0).start()
-
-    def body(j, _):
-        slot = j % 2
-        not_done = jnp.max(lograw_ref[:, 0:1]) > jnp.log(TRANSMITTANCE_EPS)
-
-        # prefetch unconditionally — a conditional start would leave later
-        # iterations waiting on a DMA that never launched
-        @pl.when(j + 1 < n_chunks)
-        def _():
-            dma(j + 1, (j + 1) % 2).start()
-
-        dma(j, slot).wait()
-
-        @pl.when(not_done)
-        def _():
-            alpha, _, _, _, _, colors = _chunk_values(buf[slot], px, py, D)
-            logs = jnp.log1p(-alpha)  # [P, G]
-            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
-            logP = S + lograw_ref[:, 0:1]
-            included = logP > jnp.log(TRANSMITTANCE_EPS)
-            P_prev = jnp.exp(logP - logs)
-            w = jnp.where(included, alpha * P_prev, 0.0)  # [P, G]
-            # acc[d, p] += Σ_g colors[d, g] · w[p, g]
-            acc_ref[:, :] += jax.lax.dot_general(
-                colors,
-                w,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
-            logeff_ref[:, :] += jnp.sum(
-                jnp.where(included, logs, 0.0), axis=1, keepdims=True
-            )
-
-        return ()
-
-    jax.lax.fori_loop(0, n_chunks, body, ())
-
-    color_out_ref[:, :] = acc_ref[:, :]
-    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
-
-
-def _bwd_kernel(
-    offs_ref,  # scalar prefetch [T+1]
-    packed_ref,  # [F, capacity] ANY
-    tfinal_ref,  # [P, 1]
-    totq_ref,  # [P, 1]
-    vcol_ref,  # [D, P]
-    valp_ref,  # [P, 1] (w.r.t. alpha_img)
-    vpacked_ref,  # out [Fv, capacity] ANY
-    buf,  # scratch [2, F, CHUNK]
-    obuf,  # scratch [2, Fv, CHUNK]
-    sems,  # DMA sems (2,)
-    osems,  # DMA sems (2,)
-    lograw_ref,  # [P, 1]
-    prefq_ref,  # [P, 1]
-    *,
-    tile_size: int,
-    tile_width: int,
-    tiles_per_image: int,
-    max_chunks: int,
-    D: int,
-):
-    t = pl.program_id(0)
-    px, py = _pixel_coords(tile_size, tile_width, tiles_per_image, t)
-    tri = _tri_upper_incl(CHUNK)
-
-    # offsets are CHUNK-aligned by construction (align_isect_ranges)
-    start = pl.multiple_of(offs_ref[t], CHUNK)
-    end = pl.multiple_of(offs_ref[t + 1], CHUNK)
-    count = jnp.minimum(end - start, max_chunks * CHUNK)
-    n_chunks = count // CHUNK
-
-    lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
-    prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
-    va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]  # [P, 1]
-
-    def dma_in(j, slot):
-        return pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
-            buf.at[slot],
-            sems.at[slot],
-        )
-
-    def dma_out(j, slot):
-        return pltpu.make_async_copy(
-            obuf.at[slot],
-            vpacked_ref.at[:, pl.ds(start + j * CHUNK, CHUNK)],
-            osems.at[slot],
-        )
-
-    @pl.when(n_chunks > 0)
-    def _():
-        dma_in(0, 0).start()
-
-    def body(j, _):
-        slot = j % 2
-
-        @pl.when(j + 1 < n_chunks)
-        def _():
-            dma_in(j + 1, (j + 1) % 2).start()
-
-        dma_in(j, slot).wait()
-
-        # wait for the out-DMA that previously used this slot
-        @pl.when(j >= 2)
-        def _():
-            dma_out(j - 2, slot).wait()
-
-        alpha, vis, dx, dy, (ca, cb, cc, op), colors = _chunk_values(
-            buf[slot], px, py, D
-        )
-        mx = buf[slot][0:1, :]
-        my = buf[slot][1:2, :]
-        one_minus = 1.0 - alpha
-        logs = jnp.log1p(-alpha)
-        S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
-        logP = S + lograw_ref[:, 0:1]
-        included = logP > jnp.log(TRANSMITTANCE_EPS)
-        P_prev = jnp.exp(logP - logs)
-        w = jnp.where(included, alpha * P_prev, 0.0)
-
-        # r[p, g] = Σ_d v_C[d, p] · colors[d, g]
-        r = jax.lax.dot_general(
-            vcol_ref[:, :],
-            colors,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [P, G]
-        q = w * r
-        pref_incl = (
-            jnp.dot(q, tri, preferred_element_type=jnp.float32)
-            + prefq_ref[:, 0:1]
-        )
-        suffix = totq_ref[:, 0:1] - pref_incl
-        ra = 1.0 / one_minus
-        v_alpha = r * P_prev - suffix * ra + va_tfin * ra
-        live = included & (alpha > 0.0)
-        v_alpha = jnp.where(live, v_alpha, 0.0)
-
-        unclamped = (op * vis) <= ALPHA_CLAMP
-        v_sigma = jnp.where(unclamped, -op * vis * v_alpha, 0.0)
-
-        # Per-entry grads: every Σ_p reduces a polynomial in (px, py) times
-        # v_sigma (dx = mx − px with mx constant per entry), so ALL of them
-        # come from the six pixel moments Σ_p pᵃ·v_sigma — ONE [8, P]×[P, G]
-        # MXU matmul instead of six cross-sublane VPU reductions (which cost
-        # ~26x the forward kernel; measured v5e). Moments use TILE-LOCAL
-        # coordinates (≤ tile_size + radius) so the polynomial recombination
-        # below doesn't cancel catastrophically at 1080p-scale pixel values.
-        basis = _pixel_moment_basis(tile_size)  # [8, P] static
-        mom = jax.lax.dot_general(
-            basis, v_sigma,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [8, G]: rows 1, pxl, pyl, pxl², pxl·pyl, pyl²
-        t_in_img = t % tiles_per_image
-        tx0 = ((t_in_img % tile_width) * tile_size).astype(jnp.float32)
-        ty0 = ((t_in_img // tile_width) * tile_size).astype(jnp.float32)
-        mxl = mx - tx0  # [1, G] tile-local gaussian centers
-        myl = my - ty0
-        m0 = mom[0:1, :]
-        mpx = mom[1:2, :]
-        mpy = mom[2:3, :]
-        mxx = mom[3:4, :]
-        mxy = mom[4:5, :]
-        myy = mom[5:6, :]
-        s_dx = mxl * m0 - mpx  # Σ v_sigma·dx
-        s_dy = myl * m0 - mpy
-        s_dxx = mxl * mxl * m0 - 2.0 * mxl * mpx + mxx
-        s_dxy = mxl * myl * m0 - mxl * mpy - myl * mpx + mxy
-        s_dyy = myl * myl * m0 - 2.0 * myl * mpy + myy
-        obuf[slot, 0:1] = ca * s_dx + cb * s_dy  # g_mx
-        obuf[slot, 1:2] = cb * s_dx + cc * s_dy  # g_my
-        obuf[slot, 2:3] = 0.5 * s_dxx  # g_ca
-        obuf[slot, 3:4] = s_dxy  # g_cb
-        obuf[slot, 4:5] = 0.5 * s_dyy  # g_cc
-        # v_op = vis·v_alpha = −v_sigma/op where v_sigma ≠ 0 → g_op = −m0/op
-        obuf[slot, 5:6] = jnp.where(op > 0.0, -m0 / jnp.where(op > 0.0, op, 1.0), 0.0)
-        # v_colors[d, g] = Σ_p v_C[d, p] · w[p, g]
-        obuf[slot, 6 : 6 + D] = jnp.dot(
-            vcol_ref[:, :], w, preferred_element_type=jnp.float32
-        )  # [D, G]
-        if obuf.shape[1] > 6 + D:
-            obuf[slot, 6 + D :] = jnp.zeros(
-                (obuf.shape[1] - 6 - D, CHUNK), jnp.float32
-            )
-        dma_out(j, slot).start()
-
-        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
-        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
-        return ()
-
-    jax.lax.fori_loop(0, n_chunks, body, ())
-
-    # drain outstanding out-DMAs
-    @pl.when(n_chunks >= 2)
-    def _():
-        dma_out(n_chunks - 2, (n_chunks - 2) % 2).wait()
-
-    @pl.when(n_chunks >= 1)
-    def _():
-        dma_out(n_chunks - 1, (n_chunks - 1) % 2).wait()
-
-
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
-def _raster_packed_core(
-    packed,  # [F_pad, capacity] f32 (F_pad = 6 + D padded to sublane mult.)
-    offsets,  # [T+1] int32
-    tile_size: int,
-    tile_width: int,
-    tiles_per_image: int,
-    n_total_tiles: int,
-    max_chunks: int,
-    d: int,
-):
-    out, _ = _raster_packed_fwd(
-        packed, offsets, tile_size, tile_width, tiles_per_image,
-        n_total_tiles, max_chunks, d,
-    )
-    return out
-
-
-def _raster_packed_fwd(
-    packed, offsets, tile_size, tile_width, tiles_per_image, n_total_tiles,
-    max_chunks, d,
-):
-    F, capacity = packed.shape
-    D = d
-    P = tile_size * tile_size
-    assert capacity % CHUNK == 0
-
-    kern = functools.partial(
-        _fwd_kernel,
-        tile_size=tile_size,
-        tile_width=tile_width,
-        tiles_per_image=tiles_per_image,
-        max_chunks=max_chunks,
-        D=D,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_total_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=[
-            pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, F, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((D, P), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-        ],
-    )
-    colors_out, trans_out = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_total_tiles, D, P), jnp.float32),
-            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=_use_interpret(),
-    )(offsets, packed)
-    return (colors_out, trans_out), (packed, offsets, colors_out, trans_out)
-
-
-def _raster_packed_bwd(
-    tile_size, tile_width, tiles_per_image, n_total_tiles, max_chunks, d,
-    residuals, grads,
-):
-    packed, offsets, colors_out, trans_out = residuals
-    v_colors_out, v_trans_out = grads
-    F, capacity = packed.shape
-    D = d
-    Fv = F  # padded like the input so XLA sees matching layouts
-    P = tile_size * tile_size
-
-    v_alpha_img = -v_trans_out  # [T, P, 1]
-    tot_q = jnp.sum(
-        v_colors_out * colors_out, axis=1, keepdims=True
-    ).swapaxes(1, 2)  # [T, P, 1]
-
-    kern = functools.partial(
-        _bwd_kernel,
-        tile_size=tile_size,
-        tile_width=tile_width,
-        tiles_per_image=tiles_per_image,
-        max_chunks=max_chunks,
-        D=D,
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_total_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # tfinal
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # tot_q
-            pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # v_colors_out
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # v_alpha_img
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        scratch_shapes=[
-            pltpu.VMEM((2, F, CHUNK), jnp.float32),
-            pltpu.VMEM((2, Fv, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-        ],
-    )
-    (v_packed,) = pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((Fv, capacity), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-        ),
-        interpret=_use_interpret(),
-    )(offsets, packed, trans_out, tot_q, v_colors_out, v_alpha_img)
-    v_packed = jnp.where(_processed_mask(offsets, capacity, max_chunks)[None, :],
-                         v_packed, 0.0)
-    return v_packed, None
-
-
-def _processed_mask(offsets, capacity: int, max_chunks: int) -> jnp.ndarray:
-    """Entries the backward kernels actually wrote: within offsets[-1] and
-    within the first max_chunks·CHUNK of their tile's (chunk-aligned) range.
-
-    Computed at CHUNK granularity then repeated — a per-entry searchsorted
-    over millions of queries into the small offsets table lowers to
-    serialized scalar gathers (~250 ms/frame at 1080p; measured v5e).
-    Ranges are disjoint and chunk-aligned, so every entry of a chunk shares
-    the same tile and the same truth value.
-    """
-    n_chunks_total = capacity // CHUNK
-    chunk_pos = jnp.arange(n_chunks_total, dtype=jnp.int32) * CHUNK
-    tile_of_chunk = (
-        jnp.searchsorted(offsets, chunk_pos, side="right").astype(jnp.int32)
-        - 1
-    )
-    start_chunk = offsets[jnp.clip(tile_of_chunk, 0, offsets.shape[0] - 1)]
-    proc_chunk = chunk_pos - start_chunk < max_chunks * CHUNK
-    processed = jnp.repeat(proc_chunk, CHUNK)
-    return processed & (
-        jnp.arange(capacity, dtype=jnp.int32) < offsets[-1]
-    )
-
-
-_raster_packed_core.defvjp(_raster_packed_fwd, _raster_packed_bwd)
 
 
 def rasterize_to_pixels_packed(
@@ -771,7 +368,7 @@ def rasterize_to_pixels_packed_inference(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T_total,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -815,15 +412,15 @@ def rasterize_to_pixels_packed_inference(
 
 
 # ---------------------------------------------------------------------------
-# Differentiable UNALIGNED path: training without the realignment pass
+# Differentiable UNALIGNED path: training without a realignment pass
 # ---------------------------------------------------------------------------
 #
-# The aligned training path re-lays every tile's entry range onto 128-lane
-# boundaries (align_isect_ranges + scatter_align_entries) because the
-# backward kernel writes per-entry gradient chunks with DMA, and Mosaic DMA
-# offsets must be 128-aligned. The rounding costs up to +CHUNK·T entries of
-# stream (at 1080p: 1.44M → 2.5M rows through the feature gather and both
-# kernels — measured +15 ms on the forward alone).
+# An earlier training path re-laid every tile's entry range onto 128-lane
+# boundaries (a scatter-based realignment pass) because the backward kernel
+# writes per-entry gradient chunks with DMA, and Mosaic DMA offsets must be
+# 128-aligned. The rounding cost up to +CHUNK·T entries of stream (at
+# 1080p: 1.44M → 2.5M rows through the feature gather and both kernels —
+# measured +15 ms on the forward alone).
 #
 # This path streams the raw sorted buffer directly (the inference kernel's
 # 3-slot rolled-window read) and solves the write side with a CROSS-TILE
@@ -842,7 +439,7 @@ def _bwd_chunk_grads(
     window, px, py, tri, lograw, prefq, vcol, va_tfin, totq,
     tx0, ty0, tile_size, D,
 ):
-    """Per-chunk backward math shared by the aligned/unaligned kernels.
+    """Per-chunk backward math of the unaligned 3DGS kernel.
 
     window: [F, CHUNK] feature block (out-of-range lanes pre-zeroed).
     Returns (gout [8+D..., CHUNK] rows ordered like the packed features,
@@ -860,10 +457,14 @@ def _bwd_chunk_grads(
     P_prev = jnp.exp(logP - logs)
     w = jnp.where(included, alpha * P_prev, 0.0)
 
+    # HIGHEST: small-K (D=3) f32 dots lower to a single bf16 MXU pass;
+    # r's error feeds the suffix cancellation (totq − pref_incl) — see the
+    # matching comment in rasterize_2dgs_pallas
     r = jax.lax.dot_general(
         vcol, colors,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [P, G]
     q = w * r
     pref_incl = (
@@ -1138,7 +739,7 @@ def _raster_unaligned_fwd(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_total_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1197,7 +798,7 @@ def _raster_unaligned_bwd(
         num_scalar_prefetch=1,
         grid=(n_total_tiles,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed
+            pl.BlockSpec(memory_space=pl.ANY),  # packed
             pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # tfinal
             pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
@@ -1207,7 +808,7 @@ def _raster_unaligned_bwd(
             pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # v_alpha_img
         ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
             pltpu.VMEM((3, F, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),

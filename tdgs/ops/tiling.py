@@ -403,108 +403,6 @@ def _packed_offsets(keys_s, I: int, n_tiles: int, depth_bits: int):
     return jnp.searchsorted(keys_s, boundaries, side="left").astype(jnp.int32)
 
 
-def align_isect_ranges(
-    offsets: jnp.ndarray,  # [T+1] int32 (unaligned, from isect_tiles_packed)
-    capacity: int,
-    chunk: int = 128,
-    tile_capacity: Optional[int] = None,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Re-lay the sorted intersection buffer so every tile's range starts at
-    a multiple of ``chunk`` (Mosaic DMA lane offsets must be 128-aligned).
-
-    Returns (aligned_offsets [T+1], src_idx [aligned_capacity] mapping each
-    aligned slot to its source position in the sorted buffer, valid mask).
-    aligned_capacity = capacity + chunk·T (static worst case: each tile
-    rounds up once). Padding slots map to source 0 with valid=False.
-    """
-    T = offsets.shape[0] - 1
-    counts = offsets[1:] - offsets[:-1]
-    if tile_capacity is not None:
-        counts = jnp.minimum(counts, tile_capacity)
-    aligned_counts = ((counts + chunk - 1) // chunk) * chunk
-    aligned_offsets = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_counts).astype(jnp.int32)]
-    )
-    aligned_capacity = capacity + chunk * T
-
-    # Everything tile-dependent is computed at CHUNK granularity then
-    # repeated to positions — per-position gathers from small tables lower
-    # ~100x slower than chunk-level gathers + repeat (measured on v5e).
-    n_chunks_total = aligned_capacity // chunk
-    chunk_ids = jnp.arange(n_chunks_total, dtype=jnp.int32)
-    tile_of_chunk = jnp.clip(
-        jnp.searchsorted(
-            aligned_offsets // chunk, chunk_ids, side="right"
-        ).astype(jnp.int32)
-        - 1,
-        0,
-        T - 1,
-    )
-    base_chunk = offsets[tile_of_chunk] - aligned_offsets[tile_of_chunk]
-    bound_chunk = counts[tile_of_chunk] + aligned_offsets[tile_of_chunk]
-    # source slice start of each chunk: contiguous 128-entry runs
-    chunk_starts = base_chunk + chunk_ids * chunk
-    bound = jnp.repeat(bound_chunk, chunk)
-    pos = jnp.arange(aligned_capacity, dtype=jnp.int32)
-    valid = pos < bound
-    return aligned_offsets, chunk_starts, valid
-
-
-def gather_aligned_blocks(
-    values: jnp.ndarray,  # [capacity_src] or [capacity_src, ...]
-    chunk_starts: jnp.ndarray,  # [n_chunks] from align_isect_ranges
-    chunk: int = 128,
-) -> jnp.ndarray:
-    """Gather per-chunk contiguous slices values[s : s+chunk] for every
-    chunk start — lowers to an efficient block gather (per-element int
-    gathers cost ~30ms/frame on v5e; 128-wide slices are ~free)."""
-    # NOTE: both vmap(dynamic_slice) and lax.gather-of-slices lower to a
-    # sequential while loop on TPU (~38ms/frame for 33k chunks). A plain
-    # element gather costs ~30ms. The fast formulation is scatter-based —
-    # see scatter_align_entries; this function is kept for small inputs.
-    n = values.shape[0]
-    starts = jnp.clip(chunk_starts, 0, max(n - chunk, 0))
-    idx = starts[:, None] + jnp.arange(chunk, dtype=jnp.int32)[None, :]
-    return values[idx.reshape(-1)]
-
-
-def scatter_align_entries(
-    values: jnp.ndarray,  # [capacity] entry values in sorted order
-    offsets: jnp.ndarray,  # [T+1] unaligned per-tile offsets
-    aligned_offsets: jnp.ndarray,  # [T+1] chunk-aligned offsets
-    aligned_capacity: int,
-    fill=0,
-) -> jnp.ndarray:
-    """Move sorted entries to their chunk-aligned positions with ONE scatter.
-
-    dst[idx] = idx + shift(tile_of(idx)) where the per-entry shift (total
-    padding inserted before the entry's tile) is a step function of idx —
-    computed with a tiny scatter at tile boundaries + a cumsum, avoiding any
-    per-entry table gather (slow on TPU).
-    """
-    capacity = values.shape[0]
-    counts = offsets[1:] - offsets[:-1]
-    aligned_counts = aligned_offsets[1:] - aligned_offsets[:-1]
-    # kept[t] ≤ counts[t] when the aligned layout truncates a tile
-    kept = jnp.minimum(counts, aligned_counts)
-    pads = aligned_counts - counts  # [T] (negative when truncated)
-    bump = jnp.zeros((capacity + 1,), jnp.int32).at[offsets[1:]].add(
-        pads, mode="drop"
-    )
-    shift = jnp.cumsum(bump[:-1]).astype(jnp.int32)  # shift per entry index
-    idx = jnp.arange(capacity, dtype=jnp.int32)
-    # per-entry keep limit: step function idx < offsets[t] + kept[t],
-    # forward-filled with a cummax (no per-entry table gathers)
-    lim_marks = jnp.zeros((capacity,), jnp.int32).at[offsets[:-1]].max(
-        offsets[:-1] + kept, mode="drop"
-    )
-    lim = jax.lax.cummax(lim_marks)
-    valid_src = (idx < offsets[-1]) & (idx < lim)
-    dst = jnp.where(valid_src, idx + shift, aligned_capacity)
-    out = jnp.full((aligned_capacity,) + values.shape[1:], fill, values.dtype)
-    return out.at[dst].set(values, mode="drop")
-
-
 def isect_offset_encode(
     isect_keys: jnp.ndarray,  # [capacity] sorted int32 keys
     I: int,

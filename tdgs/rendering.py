@@ -299,11 +299,12 @@ def rasterization(
         return render_colors, render_alphas, meta
 
     if rasterizer == "eval3d_packed":
-        # world-space rasterization on the streaming Pallas kernel
-        # (forward-only fast path of the eval3d branch below)
+        # world-space rasterization on the streaming Pallas kernel —
+        # differentiable fast path of the eval3d branch below (grads flow
+        # to splat params and camera poses via the custom-VJP core)
         from tdgs.ops.camera_models import RollingShutterType
         from tdgs.ops.rasterize_eval3d_pallas import (
-            rasterize_to_pixels_eval3d_packed_inference,
+            rasterize_to_pixels_eval3d_packed,
         )
         from tdgs.ops.tiling import isect_tiles_packed
 
@@ -336,7 +337,7 @@ def rasterization(
             }
         )
         render_colors, render_alphas = (
-            rasterize_to_pixels_eval3d_packed_inference(
+            rasterize_to_pixels_eval3d_packed(
                 means, quats, scales,
                 colors_cn.reshape(I, N, D),
                 opacities_cn.reshape(I, N),
@@ -607,9 +608,9 @@ def rasterization_2dgs(
     tile_height = math.ceil(height / float(tile_size))
     if rasterizer in ("packed", "packed_inference"):
         # streaming Pallas fast paths: "packed" is the differentiable
-        # training kernel pair (aligned entry ranges, custom VJP, real
-        # distortion/median outputs); "packed_inference" skips the
-        # realignment pass and is forward-only with zero distort/median.
+        # training kernel pair (unaligned stream, custom VJP, real
+        # distortion/median outputs); "packed_inference" is forward-only
+        # with zero distort/median.
         from tdgs.ops.rasterize_2dgs_pallas import (
             rasterize_to_pixels_2dgs_packed,
             rasterize_to_pixels_2dgs_packed_inference,

@@ -213,3 +213,53 @@ def test_2dgs_packed_training_matches_jax():
             err_msg=f"grad {name}",
         )
         assert scale > 0, name
+
+
+def test_2dgs_packed_truncation_matches_jax():
+    """Overflowing tiles (raw count > tile_capacity) exercise the 2DGS
+    backward kernel's carry-invalidation + gap zero-fill protocol."""
+    rng = np.random.default_rng(23)
+    means, quats, scales, opac, colors, viewmats, Ks, width, height = (
+        make_surfel_scene(rng, N=256, C=1, width=32, height=32)
+    )
+    scales = np.maximum(scales, 0.4)  # big surfels -> heavy tile overlap
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+        jnp.asarray(Ks),
+    )
+    common = dict(
+        width=width, height=height, tile_capacity=128,  # one chunk
+        max_tiles_per_gauss=16, render_mode="RGB+ED", distloss=True,
+    )
+    out_j = rasterization_2dgs(*args, **common, rasterizer="jax")
+    out_p = rasterization_2dgs(*args, **common, rasterizer="packed")
+    assert int(out_j[6]["n_isects"]) > 4 * 128, "scene must overflow tiles"
+    for k, (a, b) in enumerate(zip(out_p[:5], out_j[:5])):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"output {k}",
+        )
+
+    def loss(means_, quats_, scales_, opac_, colors_, rasterizer):
+        img, alpha, normals, nfd, distort, _, _ = rasterization_2dgs(
+            means_, quats_, scales_, opac_, colors_,
+            jnp.asarray(viewmats), jnp.asarray(Ks),
+            rasterizer=rasterizer, **common,
+        )
+        return (
+            jnp.sum(img**2) + jnp.sum(alpha**2) + jnp.sum(normals**2)
+            + 3.0 * jnp.sum(distort)
+        )
+
+    diff_args = tuple(jnp.asarray(x) for x in
+                      (means, quats, scales, opac, colors))
+    g_j = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*diff_args, "jax")
+    g_p = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*diff_args, "packed")
+    for name, a, b in zip(["means", "quats", "scales", "opac", "colors"],
+                          g_p, g_j):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-8
+        assert np.abs(a - b).max() / scale < 3e-2, (
+            name, np.abs(a - b).max() / scale)

@@ -301,3 +301,46 @@ def test_eval3d_packed_kernel_parity(case):
     np.testing.assert_allclose(
         np.asarray(alp_k), np.asarray(alp_ref), atol=5e-3
     )
+
+
+@pytest.mark.parametrize("case", ["pinhole", "rolling_shutter"])
+def test_eval3d_packed_grads_match_jax(case):
+    """The packed eval3d custom VJP must match autodiff through the jnp
+    path — gradients to splat params AND camera poses (pose-opt)."""
+    from tdgs.ops.camera_models import RollingShutterType
+
+    rng = np.random.default_rng(217)
+    means, quats, scales, opac, colors, viewmats = make_scene(rng, N=32)
+    width, height = 64, 48
+    common = dict(tile_capacity=256, max_tiles_per_gauss=16, eps2d=0.0)
+    kwargs = {}
+    if case == "rolling_shutter":
+        vm_end = viewmats.copy()
+        vm_end[0, 0, 3] += 0.2
+        kwargs = dict(
+            with_ut=True,
+            rolling_shutter=RollingShutterType.TOP_TO_BOTTOM,
+            viewmats_rs=jnp.asarray(vm_end),
+        )
+
+    def loss(means_, quats_, scales_, opac_, colors_, vm_, rasterizer):
+        img, alpha, _ = rasterization(
+            means_, quats_, scales_, opac_, colors_, vm_, jnp.asarray(K),
+            width, height, rasterizer=rasterizer, **common, **kwargs,
+        )
+        return jnp.sum(img**2) + 0.3 * jnp.sum(alpha**2)
+
+    args = (
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(colors), jnp.asarray(viewmats),
+    )
+    g_j = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*args, "eval3d")
+    g_p = jax.grad(loss, argnums=(0, 1, 2, 3, 4, 5))(*args, "eval3d_packed")
+    names = ["means", "quats", "scales", "opac", "colors", "viewmats"]
+    for name, a, b in zip(names, g_p, g_j):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(a).all(), name
+        scale = np.abs(b).max() + 1e-8
+        assert scale > 1e-6 or name == "viewmats", name  # grads are alive
+        assert np.abs(a - b).max() / scale < 3e-2, (
+            name, np.abs(a - b).max() / scale)

@@ -188,3 +188,56 @@ def test_packed_inference_matches_jax():
     np.testing.assert_allclose(
         np.asarray(alp_p), np.asarray(alp_j), rtol=2e-3, atol=2e-3
     )
+
+
+def test_packed_truncation_matches_jax():
+    """Overflowing tiles (raw count > tile_capacity) exercise the backward
+    kernel's carry-invalidation + gap zero-fill protocol."""
+    rng = np.random.default_rng(117)
+    tile_size = 16
+    width = height = 32
+    # every gaussian covers most tiles -> per-tile raw counts ~N >> 128
+    means2d, conics, colors, opacities, radii, depths, tw, th = make_raster_inputs(
+        rng, N=300, width=width, height=height
+    )
+    radii = np.maximum(radii, 24)  # force heavy overlap
+    I = 1
+    cap = 128  # one chunk: truncation everywhere
+    tgt = rng.uniform(0, 1, size=(1, height, width, 3)).astype(np.float32)
+
+    resp = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, max_tiles_per_gauss=64,
+    )
+    rese = tiling.isect_tiles(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, capacity=1 << 15, max_tiles_per_gauss=64,
+    )
+    offsets_e = tiling.isect_offset_encode(rese.isect_keys, I, tw, th)
+    raw_counts = np.diff(np.asarray(resp.offsets))
+    assert (raw_counts > cap).sum() >= 2, "scene must overflow several tiles"
+
+    def loss_p(m, c, col, op):
+        img, alpha = rasterize_to_pixels_packed(
+            m, c, col, op, width, height, tile_size,
+            resp.offsets, resp.flatten_ids, tile_capacity=cap,
+        )
+        return jnp.sum((img - jnp.asarray(tgt)) ** 2) + 0.1 * jnp.sum(alpha)
+
+    def loss_j(m, c, col, op):
+        img, alpha = RJ.rasterize_to_pixels_jax(
+            m, c, col, op, width, height, tile_size,
+            offsets_e, rese.flatten_ids, rese.n_isects, tile_capacity=cap,
+        )
+        return jnp.sum((img - jnp.asarray(tgt)) ** 2) + 0.1 * jnp.sum(alpha)
+
+    args = (jnp.asarray(means2d), jnp.asarray(conics), jnp.asarray(colors),
+            jnp.asarray(opacities))
+    lp, g_p = jax.value_and_grad(loss_p, argnums=(0, 1, 2, 3))(*args)
+    lj, g_j = jax.value_and_grad(loss_j, argnums=(0, 1, 2, 3))(*args)
+    np.testing.assert_allclose(float(lp), float(lj), rtol=1e-3)
+    for n, gp, gj in zip(["means2d", "conics", "colors", "opac"], g_p, g_j):
+        gp, gj = np.asarray(gp), np.asarray(gj)
+        assert np.isfinite(gp).all(), n
+        scale = np.abs(gj).max() + 1e-8
+        assert np.abs(gp - gj).max() / scale < 3e-2, (n, np.abs(gp - gj).max())
