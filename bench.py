@@ -185,10 +185,13 @@ def main():
         def step(means, quats, scales, opacities, sh, viewmats, Ks, i):
             def loss_fn(means, quats, scales, opacities, sh):
                 op = opacities * (1.0 + 1e-5 * i.astype(jnp.float32))
-                if model == "3dgs":
+                if model in ("3dgs", "eval3d"):
                     img, alpha, _ = rasterization(
                         means, quats, scales, op, sh, viewmats, Ks,
-                        WIDTH, HEIGHT, sh_degree=3, rasterizer="packed",
+                        WIDTH, HEIGHT, sh_degree=3,
+                        rasterizer=(
+                            "packed" if model == "3dgs" else "eval3d_packed"
+                        ),
                         tile_capacity=1024, max_tiles_per_gauss=16,
                         isect_capacity=1_310_720,
                     )
@@ -216,18 +219,16 @@ def main():
 
         return jax.jit(frames)
 
-    fps_train = fps_2dgs_train = 0.0
+    train_fps = {"3dgs": 0.0, "2dgs": 0.0, "eval3d": 0.0}
     if use_pallas:
-        for model, store in (("3dgs", "t"), ("2dgs", "t2")):
+        for model in train_fps:
             fnt = make_train_bench(model)
             np.asarray(fnt(*args))
             t0 = time.perf_counter()
             np.asarray(fnt(*args))
-            val = n_frames / (time.perf_counter() - t0)
-            if model == "3dgs":
-                fps_train = val
-            else:
-                fps_2dgs_train = val
+            train_fps[model] = n_frames / (time.perf_counter() - t0)
+    fps_train = train_fps["3dgs"]
+    fps_2dgs_train = train_fps["2dgs"]
 
     # physics stepping rate (the north star's second half: ≥240 Hz). A
     # 16-domino rally stepped on-device via lax.scan.
@@ -265,6 +266,7 @@ def main():
                 "render_eval3d_fps": round(fps_eval3d, 2),
                 "render_train_fps": round(fps_train, 2),
                 "render_2dgs_train_fps": round(fps_2dgs_train, 2),
+                "render_eval3d_train_fps": round(train_fps["eval3d"], 2),
             }
         )
     )

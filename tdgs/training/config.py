@@ -48,13 +48,26 @@ class Config:
     far_plane: float = 1e10
     camera_model: Literal["pinhole", "ortho", "fisheye"] = "pinhole"
     antialiased: bool = False
-    rasterizer: Literal["auto", "jax", "pallas"] = "auto"
+    rasterizer: Literal[
+        "auto", "jax", "pallas", "packed", "packed_inference"
+    ] = "auto"
     tile_capacity: int = 1024
     isect_capacity: Optional[int] = None
     max_tiles_per_gauss: int = 32
 
     # model family
     model_type: Literal["3dgs", "2dgs"] = "3dgs"
+
+    # 3DGUT (reference simple_trainer.py:189-190, benchmarks/3dgut/mcmc.sh):
+    # with_ut projects through the unscented transform (distorted cameras,
+    # rolling shutter); with_eval3d rasterizes in world space along true
+    # camera rays. Training uses the differentiable eval3d Pallas kernel on
+    # TPU (rasterize_eval3d_pallas). Note eval3d renders don't touch
+    # means2d, so the DefaultStrategy's screen-gradient grow criterion
+    # never fires — use MCMCStrategy, as the reference's 3dgut benchmark
+    # scripts do.
+    with_ut: bool = False
+    with_eval3d: bool = False
 
     # 2DGS losses (reference simple_trainer_2dgs.py:153-164)
     normal_loss: bool = False

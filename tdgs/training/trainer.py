@@ -99,6 +99,13 @@ class Runner:
 
     def __init__(self, cfg: Config):
         cfg = cfg.adjusted()
+        if cfg.with_ut:
+            # reference simple_trainer.py:1651-1652
+            assert cfg.with_eval3d, (
+                "Training with UT requires setting `with_eval3d` flag."
+            )
+        if cfg.with_eval3d:
+            assert cfg.model_type == "3dgs", "eval3d is a 3DGS render path"
         self.cfg = cfg
         os.makedirs(cfg.result_dir, exist_ok=True)
         self.stats_dir = os.path.join(cfg.result_dir, "stats")
@@ -308,6 +315,14 @@ class Runner:
         rasterizer = cfg.rasterizer
         if rasterizer == "auto":
             rasterizer = "packed" if jax.default_backend() == "tpu" else "jax"
+        if cfg.with_eval3d:
+            # 3DGUT: world-space rasterization along true camera rays
+            # (reference simple_trainer.py:621-622). Differentiable Pallas
+            # fast path on TPU, jnp oracle elsewhere.
+            rasterizer = (
+                "eval3d_packed" if jax.default_backend() == "tpu"
+                else "eval3d"
+            )
         if cfg.model_type == "2dgs" and override_features is None:
             from tdgs.rendering import rasterization_2dgs
 
@@ -328,6 +343,12 @@ class Runner:
                 ),
             )
             return out[0], out[1], out[6]
+        if cfg.with_eval3d:
+            # the eval3d path never touches means2d in the render, so the
+            # screen-gradient taps would be dead weights (asserted against
+            # downstream); drop them here
+            means2d_offset = None
+            means2d_abs_tap = None
         return rasterization(
             means, quats, scales, opacities, colors, viewmats, Ks,
             width, height,
@@ -337,6 +358,7 @@ class Runner:
             camera_model=cfg.camera_model,
             rasterize_mode="antialiased" if cfg.antialiased else "classic",
             rasterizer=rasterizer,
+            with_ut=cfg.with_ut,
             tile_capacity=cfg.tile_capacity,
             isect_capacity=cfg.isect_capacity,
             max_tiles_per_gauss=cfg.max_tiles_per_gauss,
@@ -734,7 +756,12 @@ class Runner:
                 )
 
             sh_degree = min(step // cfg.sh_degree_interval, cfg.sh_degree)
-            use_tap = isinstance(self.strategy, DefaultStrategy)
+            # eval3d renders produce no screen-space gradients (means2d is
+            # tiling-only there) — see Config.with_eval3d
+            use_tap = (
+                isinstance(self.strategy, DefaultStrategy)
+                and not cfg.with_eval3d
+            )
             # AbsGS: only the 3DGS fused path exposes the abs tap
             use_absgrad = (
                 use_tap and self.strategy.absgrad and cfg.model_type != "2dgs"

@@ -160,6 +160,45 @@ def test_trainer_2dgs_variant(tmp_path):
     assert stats["psnr"] > 12.0, stats
 
 
+def test_trainer_3dgut_eval3d(tmp_path):
+    """3DGUT trainer (reference simple_trainer.py:189-190 with_ut/with_eval3d,
+    benchmarks/3dgut/mcmc.sh): UT projection + world-space eval3d render in
+    the train step. MCMC strategy (eval3d has no screen-space gradients)."""
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        with_ut=True,
+        with_eval3d=True,
+        max_steps=30,
+        eval_steps=[30],
+        save_steps=[],
+        sh_degree=1,
+        sh_degree_interval=20,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=10,
+                              refine_every=20, refine_stop_iter=100),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=10,
+    )
+    runner = Runner(cfg)
+    out = runner.train()
+    hist = out["history"]
+    assert np.isfinite(hist[-1]["loss"])
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+    stats = runner.eval(30)
+    assert stats["psnr"] > 12.0, stats
+
+    # with_ut without with_eval3d is a config error (reference :1651-1652)
+    with pytest.raises(AssertionError):
+        Runner(Config(data_dir=str(tmp_path / "scene"),
+                      result_dir=str(tmp_path / "results2"),
+                      with_ut=True))
+
+
 def test_trainer_live_viewer(tmp_path):
     """Live viewer attached to the training loop (reference
     simple_trainer.py:690,1286): frames must be servable over HTTP while
