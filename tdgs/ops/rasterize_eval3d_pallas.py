@@ -91,9 +91,16 @@ def _fwd_kernel_eval3d_unaligned(
     *,
     max_chunks: int,
     D: int,
+    central: bool,
 ):
     """Streaming structure identical to rasterize_pallas_packed.
-    _fwd_kernel_unaligned; see there for the DMA-pipeline invariants."""
+    _fwd_kernel_unaligned; see there for the DMA-pipeline invariants.
+
+    ``central`` statically specializes for o' ≡ 0 (any central camera
+    with a global shutter — pinhole/fisheye/FTheta; distortion bends ray
+    directions, never moves the origin): the three o-dependent HIGHEST
+    contractions (od6·p6, oo6·p6, o·w) vanish and gg reduces to the
+    precomputed mAm, leaving 2 of 5 MXU contractions per chunk."""
     t = pl.program_id(0)
     tri = _tri_upper_incl(CHUNK)
 
@@ -111,10 +118,11 @@ def _fwd_kernel_eval3d_unaligned(
 
     # per-tile ray rows (loop constants)
     d = rays_ref[0:3, :]  # [3, P]
-    o = rays_ref[3:6, :]
     dd6 = _sym6_rows(d, d)  # [6, P]
-    oo6 = _sym6_rows(o, o)
-    od6 = _sym6_rows(o, d)
+    if not central:
+        o = rays_ref[3:6, :]
+        oo6 = _sym6_rows(o, o)
+        od6 = _sym6_rows(o, d)
 
     def dma(j):
         return pltpu.make_async_copy(
@@ -175,9 +183,13 @@ def _fwd_kernel_eval3d_unaligned(
             op = window[10:11, :]
             colors = window[11 : 11 + D, :]
 
-            gr = mm(od6, p6) - mm(d, w_rows)  # [P, G]
+            if central:
+                gr = -mm(d, w_rows)  # [P, G]
+                gg = mAm  # [1, G] broadcasts over pixels
+            else:
+                gr = mm(od6, p6) - mm(d, w_rows)  # [P, G]
+                gg = mm(oo6, p6) - 2.0 * mm(o, w_rows) + mAm
             rr = jnp.maximum(mm(dd6, p6), 1e-12)
-            gg = mm(oo6, p6) - 2.0 * mm(o, w_rows) + mAm
             sigma = 0.5 * (gg - gr * gr / rr)
             alpha = jnp.minimum(
                 ALPHA_CLAMP, op * jnp.exp(-jnp.maximum(sigma, 0.0))
@@ -368,8 +380,16 @@ def rasterize_to_pixels_eval3d_packed(
     feats = jax.lax.optimization_barrier(feats)
     packed = jax.lax.optimization_barrier(feats[flatten_ids]).T
 
+    # matches _tile_rays_world's use_rs: central cameras with a global
+    # shutter have o' ≡ 0, which statically removes 3 of the 5 HIGHEST
+    # MXU contractions per chunk in both kernels
+    central = not (
+        viewmats_rs is not None
+        and rolling_shutter != RollingShutterType.GLOBAL
+    )
     colors_out, trans_out = _raster_eval3d_core(
         packed, rays, offsets, T_total, max(tile_capacity // CHUNK, 1), D, P,
+        central,
     )
 
     pad_h, pad_w = tile_height * tile_size, tile_width * tile_size
@@ -444,6 +464,7 @@ def _bwd_kernel_eval3d_unaligned(
     max_chunks: int,
     D: int,
     Fv: int,
+    central: bool,
 ):
     t = pl.program_id(0)
     tri = _tri_upper_incl(CHUNK)
@@ -465,10 +486,11 @@ def _bwd_kernel_eval3d_unaligned(
     va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]
 
     d = rays_ref[0:3, :]  # [3, P]
-    o = rays_ref[3:6, :]
     dd6 = _sym6_rows(d, d)
-    oo6 = _sym6_rows(o, o)
-    od6 = _sym6_rows(o, d)
+    if not central:
+        o = rays_ref[3:6, :]
+        oo6 = _sym6_rows(o, o)
+        od6 = _sym6_rows(o, d)
 
     @pl.when(t == 0)
     def _():
@@ -562,11 +584,15 @@ def _bwd_kernel_eval3d_unaligned(
         op = window[10:11, :]
         colors = window[11 : 11 + D, :]
 
-        # recompute the forward response
-        gr = mm(od6, p6) - mm(d, w_rows)  # [P, G]
+        # recompute the forward response (central: o' ≡ 0, see fwd kernel)
+        if central:
+            gr = -mm(d, w_rows)  # [P, G]
+            gg = mAm
+        else:
+            gr = mm(od6, p6) - mm(d, w_rows)  # [P, G]
+            gg = mm(oo6, p6) - 2.0 * mm(o, w_rows) + mAm
         rr_raw = mm(dd6, p6)
         rr = jnp.maximum(rr_raw, 1e-12)
-        gg = mm(oo6, p6) - 2.0 * mm(o, w_rows) + mAm
         sigma = 0.5 * (gg - gr * gr / rr)
         vis = jnp.exp(-jnp.maximum(sigma, 0.0))
         alpha_raw = op * vis
@@ -608,9 +634,13 @@ def _bwd_kernel_eval3d_unaligned(
         )
 
         # per-entry feature grads
-        v_w = -mmp(d, v_gr) - 2.0 * mmp(o, v_gg)  # [3, G]
+        if central:
+            v_w = -mmp(d, v_gr)  # [3, G]
+            v_p6 = mmp(dd6, v_rr)  # [6, G]
+        else:
+            v_w = -mmp(d, v_gr) - 2.0 * mmp(o, v_gg)  # [3, G]
+            v_p6 = mmp(od6, v_gr) + mmp(dd6, v_rr) + mmp(oo6, v_gg)
         v_mAm = jnp.sum(v_gg, axis=0, keepdims=True)  # [1, G]
-        v_p6 = mmp(od6, v_gr) + mmp(dd6, v_rr) + mmp(oo6, v_gg)  # [6, G]
         v_op_row = jnp.sum(v_op, axis=0, keepdims=True)
         v_colors = jnp.dot(
             vcol_ref[:, :], wgt, preferred_element_type=jnp.float32
@@ -625,16 +655,22 @@ def _bwd_kernel_eval3d_unaligned(
             )
         gout = jnp.where(in_range, gout, 0.0)
 
-        # per-tile ray grads (pixel-wise contractions over entries)
-        G6_gr = mmg(p6, v_gr)  # [6, P] = Σ_g prec6·v_gr
-        G6_gg = mmg(p6, v_gg)
-        G6_rr = mmg(p6, v_rr)
+        # per-tile ray grads (pixel-wise contractions over entries).
+        # central: o' ≡ 0 kills the G6_gr·o term of v_d, and v_o is
+        # discarded upstream (o_prime is a constant zeros array), so only
+        # W3_gr and G6_rr survive.
+        G6_rr = mmg(p6, v_rr)  # [6, P] = Σ_g prec6·v_rr
         W3_gr = mmg(w_rows, v_gr)  # [3, P] = Σ_g w·v_gr
-        W3_gg = mmg(w_rows, v_gg)
-        v_d = _pv(G6_gr, o) - W3_gr + 2.0 * _pv(G6_rr, d)
-        v_o = _pv(G6_gr, d) + 2.0 * (_pv(G6_gg, o) - W3_gg)
+        if central:
+            v_d = -W3_gr + 2.0 * _pv(G6_rr, d)
+        else:
+            G6_gr = mmg(p6, v_gr)
+            G6_gg = mmg(p6, v_gg)
+            W3_gg = mmg(w_rows, v_gg)
+            v_d = _pv(G6_gr, o) - W3_gr + 2.0 * _pv(G6_rr, d)
+            v_o = _pv(G6_gr, d) + 2.0 * (_pv(G6_gg, o) - W3_gg)
+            vrays_ref[3:6, :] += v_o
         vrays_ref[0:3, :] += v_d
-        vrays_ref[3:6, :] += v_o
 
         prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
         lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
@@ -703,7 +739,7 @@ def _bwd_kernel_eval3d_unaligned(
         dma_out(0, (start + count) // CHUNK).wait()
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _raster_eval3d_core(
     packed,  # [F_pad, capacity_pad] f32 (raw sorted order + slack)
     rays,  # [T, 8, P] f32 (rows 0:3 d_world, 3:6 o')
@@ -712,14 +748,16 @@ def _raster_eval3d_core(
     max_chunks: int,
     d: int,
     p: int,
+    central: bool = False,
 ):
     out, _ = _raster_eval3d_fwd(
-        packed, rays, offsets, n_total_tiles, max_chunks, d, p
+        packed, rays, offsets, n_total_tiles, max_chunks, d, p, central
     )
     return out
 
 
-def _raster_eval3d_fwd(packed, rays, offsets, n_total_tiles, max_chunks, d, p):
+def _raster_eval3d_fwd(packed, rays, offsets, n_total_tiles, max_chunks, d, p,
+                       central=False):
     F, capacity = packed.shape
     D = d
     P = p
@@ -727,6 +765,7 @@ def _raster_eval3d_fwd(packed, rays, offsets, n_total_tiles, max_chunks, d, p):
 
     kern = functools.partial(
         _fwd_kernel_eval3d_unaligned, max_chunks=max_chunks, D=D,
+        central=central,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -766,7 +805,8 @@ def _raster_eval3d_fwd(packed, rays, offsets, n_total_tiles, max_chunks, d, p):
                                      trans_out)
 
 
-def _raster_eval3d_bwd(n_total_tiles, max_chunks, d, p, residuals, grads):
+def _raster_eval3d_bwd(n_total_tiles, max_chunks, d, p, central, residuals,
+                       grads):
     packed, rays, offsets, colors_out, trans_out = residuals
     v_colors_out, v_trans_out = grads
     F, capacity = packed.shape
@@ -781,6 +821,7 @@ def _raster_eval3d_bwd(n_total_tiles, max_chunks, d, p, residuals, grads):
 
     kern = functools.partial(
         _bwd_kernel_eval3d_unaligned, max_chunks=max_chunks, D=D, Fv=Fv,
+        central=central,
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
