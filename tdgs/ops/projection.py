@@ -22,7 +22,11 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from tdgs.ops.transforms import quat_scale_to_covar_preci, world_to_cam
+from tdgs.ops.transforms import (
+    covar_cam_sym6,
+    pos_world_to_cam,
+    quat_scale_to_covar_sym6,
+)
 
 # Minimum contribution for a gaussian to be composited; same constant as the
 # reference (gsplat/cuda/include/Common.h: ALPHA_THRESHOLD = 1/255).
@@ -42,6 +46,32 @@ def persp_proj(
     The Jacobian is evaluated at frustum-clamped (tx, ty) with a 0.3·tan(fov)
     margin, as in the reference (Utils.cuh persp_proj).
     """
+    means2d, (c00, c01, c11) = _persp_proj6(
+        means, _cov33_to_sym6(covars), Ks, width, height
+    )
+    return means2d, _stack_cov2d(c00, c01, c11)
+
+
+def _cov33_to_sym6(covars):
+    return (covars[..., 0, 0], covars[..., 0, 1], covars[..., 0, 2],
+            covars[..., 1, 1], covars[..., 1, 2], covars[..., 2, 2])
+
+
+def _stack_cov2d(c00, c01, c11):
+    row0 = jnp.stack([c00, c01], axis=-1)
+    row1 = jnp.stack([c01, c11], axis=-1)
+    return jnp.stack([row0, row1], axis=-2)
+
+
+def _persp_proj6(
+    means: jnp.ndarray,  # [..., C, N, 3] (camera space)
+    cov6,  # 6 arrays [..., C, N]
+    Ks: jnp.ndarray,  # [..., C, 3, 3]
+    width: int,
+    height: int,
+):
+    """Component-form EWA perspective projection (SoA: everything stays
+    elementwise — no [..., 2, 2] / [..., 3, 3] tensors materialize)."""
     tx, ty, tz = means[..., 0], means[..., 1], means[..., 2]
     tz = jnp.where(tz == 0.0, 1e-8, tz)
     tz2 = tz * tz
@@ -66,12 +96,12 @@ def persp_proj(
     j11 = fy / tz
     j12 = -fy * tyc / tz2
 
-    cov2d = _jac_sandwich_2x3(covars, j00, jnp.zeros_like(j00), j02,
-                              jnp.zeros_like(j11), j11, j12)
+    zero = jnp.zeros_like(j00)
+    cov2d6 = _jac_sandwich_2x3(cov6, j00, zero, j02, zero, j11, j12)
     means2d = jnp.stack(
         [fx * tx / tz + cx, fy * ty / tz + cy], axis=-1
     )
-    return means2d, cov2d
+    return means2d, cov2d6
 
 
 def ortho_proj(
@@ -82,16 +112,23 @@ def ortho_proj(
     height: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Orthographic projection (Utils.cuh ortho_proj)."""
+    means2d, (c00, c01, c11) = _ortho_proj6(
+        means, _cov33_to_sym6(covars), Ks, width, height
+    )
+    return means2d, _stack_cov2d(c00, c01, c11)
+
+
+def _ortho_proj6(means, cov6, Ks, width, height):
     fx = Ks[..., 0, 0, None]
     fy = Ks[..., 1, 1, None]
     cx = Ks[..., 0, 2, None]
     cy = Ks[..., 1, 2, None]
-    zero = jnp.zeros_like(fx)
-    cov2d = _jac_sandwich_2x3(covars, fx, zero, zero, zero, fy, zero)
+    zero = jnp.zeros_like(fx * means[..., 0])
+    cov2d6 = _jac_sandwich_2x3(cov6, fx + zero, zero, zero, zero, fy + zero, zero)
     means2d = jnp.stack(
         [means[..., 0] * fx + cx, means[..., 1] * fy + cy], axis=-1
     )
-    return means2d, cov2d
+    return means2d, cov2d6
 
 
 def fisheye_proj(
@@ -102,6 +139,13 @@ def fisheye_proj(
     height: int,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Equidistant fisheye projection (Utils.cuh fisheye_proj)."""
+    means2d, (c00, c01, c11) = _fisheye_proj6(
+        means, _cov33_to_sym6(covars), Ks, width, height
+    )
+    return means2d, _stack_cov2d(c00, c01, c11)
+
+
+def _fisheye_proj6(means, cov6, Ks, width, height):
     x, y, z = means[..., 0], means[..., 1], means[..., 2]
     fx = Ks[..., 0, 0, None]
     fy = Ks[..., 1, 1, None]
@@ -129,22 +173,18 @@ def fisheye_proj(
     j11 = fy * (y2 * a + x2 * b)
     j12 = -fy * y * x2y2z2_inv
 
-    cov2d = _jac_sandwich_2x3(covars, j00, j01, j02, j10, j11, j12)
-    return means2d, cov2d
+    cov2d6 = _jac_sandwich_2x3(cov6, j00, j01, j02, j10, j11, j12)
+    return means2d, cov2d6
 
 
-def _jac_sandwich_2x3(covars, j00, j01, j02, j10, j11, j12):
-    """cov2d = J Σ Jᵀ for a per-element 2x3 Jacobian given by components.
+def _jac_sandwich_2x3(cov6, j00, j01, j02, j10, j11, j12):
+    """(c00, c01, c11) of J Σ Jᵀ for a per-element 2x3 Jacobian given by
+    components, Σ given as its 6 upper-tri components.
 
     Expanded by hand instead of einsum over stacked J so XLA keeps everything
     as elementwise VPU ops with no materialized [.., 2, 3] tensors.
     """
-    s00 = covars[..., 0, 0]
-    s01 = covars[..., 0, 1]
-    s02 = covars[..., 0, 2]
-    s11 = covars[..., 1, 1]
-    s12 = covars[..., 1, 2]
-    s22 = covars[..., 2, 2]
+    s00, s01, s02, s11, s12, s22 = cov6
     # rows of J·Σ
     a0 = j00 * s00 + j01 * s01 + j02 * s02
     a1 = j00 * s01 + j01 * s11 + j02 * s12
@@ -155,9 +195,7 @@ def _jac_sandwich_2x3(covars, j00, j01, j02, j10, j11, j12):
     c00 = a0 * j00 + a1 * j01 + a2 * j02
     c01 = a0 * j10 + a1 * j11 + a2 * j12
     c11 = b0 * j10 + b1 * j11 + b2 * j12
-    row0 = jnp.stack([c00, c01], axis=-1)
-    row1 = jnp.stack([c01, c11], axis=-1)
-    return jnp.stack([row0, row1], axis=-2)
+    return c00, c01, c11
 
 
 def proj(
@@ -229,24 +267,41 @@ def fully_fused_projection(
     opacity-aware radius extend = min(3.33, sqrt(2·ln(op/αmin))) when
     opacities are provided, else fixed 3.33 (the torch-oracle behavior).
     """
+    # The whole chain below is structure-of-arrays: covariances live as 6
+    # scalar component arrays so every step is an elementwise VPU op that
+    # XLA fuses into one kernel — the einsum form lowered tiny [3,3]
+    # batched matmuls through a conv emitter with layout copies
+    # (~10 ms/step at N=200k on v5e).
     if covars is None:
-        covars, _ = quat_scale_to_covar_preci(
-            quats, scales, compute_covar=True, compute_preci=False
-        )
-    means_c, covars_c = world_to_cam(means, covars, viewmats)
-    means2d, cov2d = proj(means_c, covars_c, Ks, width, height, camera_model)
+        cov6_w = quat_scale_to_covar_sym6(quats, scales)
+    else:
+        cov6_w = _cov33_to_sym6(covars)
+    means_c = pos_world_to_cam(means, viewmats)
+    cov6_c = covar_cam_sym6(cov6_w, viewmats)
+    proj6 = {
+        "pinhole": _persp_proj6,
+        "ortho": _ortho_proj6,
+        "fisheye": _fisheye_proj6,
+    }.get(camera_model)
+    if proj6 is None:
+        raise ValueError(f"unsupported camera_model {camera_model!r}")
+    means2d, (c00, c01, c11) = proj6(means_c, cov6_c, Ks, width, height)
     depths = means_c[..., 2]
 
-    cov2d_blur, det, compensation = add_blur(cov2d, eps2d)
+    # Low-pass blur + antialiasing compensation (Utils.cuh add_blur),
+    # component form.
+    det_orig = c00 * c11 - c01 * c01
+    c00b = c00 + eps2d
+    c11b = c11 + eps2d
+    det = c00b * c11b - c01 * c01
+    compensation = jnp.sqrt(
+        jnp.maximum(det_orig / jnp.maximum(det, 1e-10), 0.0)
+    )
 
     # conic = inverse of blurred 2x2 covariance, upper-tri (a, b, c)
     det_safe = jnp.where(det == 0.0, 1.0, det)
     conics = jnp.stack(
-        [
-            cov2d_blur[..., 1, 1] / det_safe,
-            -cov2d_blur[..., 0, 1] / det_safe,
-            cov2d_blur[..., 0, 0] / det_safe,
-        ],
+        [c11b / det_safe, -c01 / det_safe, c00b / det_safe],
         axis=-1,
     )
 
@@ -263,8 +318,8 @@ def fully_fused_projection(
             extend, jnp.sqrt(2.0 * jnp.log(op_safe / ALPHA_THRESHOLD))
         )
 
-    radius_x = jnp.ceil(extend * jnp.sqrt(jnp.maximum(cov2d_blur[..., 0, 0], 0.0)))
-    radius_y = jnp.ceil(extend * jnp.sqrt(jnp.maximum(cov2d_blur[..., 1, 1], 0.0)))
+    radius_x = jnp.ceil(extend * jnp.sqrt(jnp.maximum(c00b, 0.0)))
+    radius_y = jnp.ceil(extend * jnp.sqrt(jnp.maximum(c11b, 0.0)))
 
     valid = valid & ~((radius_x <= radius_clip) & (radius_y <= radius_clip))
     valid = valid & (

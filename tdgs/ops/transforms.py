@@ -22,8 +22,12 @@ def quat_normalize(quats: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return quats / jnp.maximum(norm, eps)
 
 
-def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
-    """Convert (unnormalized) wxyz quaternions [..., 4] to rotation matrices [..., 3, 3]."""
+def quat_to_rotmat_comps(quats: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
+    """Rotation-matrix components (r00..r22, row-major) of wxyz quaternions
+    as 9 separate arrays [...]. Structure-of-arrays form: every consumer
+    that stays in components keeps the whole chain elementwise on the VPU
+    — batched [N, 3, 3] matmuls go through XLA's conv emitter with layout
+    copies (~10 ms/step measured at N=200k), component math fuses free."""
     quats = quat_normalize(quats)
     w, x, y, z = jnp.moveaxis(quats, -1, 0)
     r00 = 1.0 - 2.0 * (y * y + z * z)
@@ -35,6 +39,12 @@ def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
     r20 = 2.0 * (x * z - w * y)
     r21 = 2.0 * (y * z + w * x)
     r22 = 1.0 - 2.0 * (x * x + y * y)
+    return r00, r01, r02, r10, r11, r12, r20, r21, r22
+
+
+def quat_to_rotmat(quats: jnp.ndarray) -> jnp.ndarray:
+    """Convert (unnormalized) wxyz quaternions [..., 4] to rotation matrices [..., 3, 3]."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = quat_to_rotmat_comps(quats)
     rows = jnp.stack(
         [
             jnp.stack([r00, r01, r02], axis=-1),
@@ -140,6 +150,76 @@ def quat_scale_to_covar_preci(
     covars = _make(scales) if compute_covar else None
     precis = _make(1.0 / scales) if compute_preci else None
     return covars, precis
+
+
+def quat_scale_to_covar_sym6(
+    quats: jnp.ndarray,  # [..., 4]
+    scales: jnp.ndarray,  # [..., 3]
+) -> Tuple[jnp.ndarray, ...]:
+    """Σ = R diag(s²) Rᵀ as 6 component arrays (s00, s01, s02, s11, s12,
+    s22), fully elementwise (SoA — see quat_to_rotmat_comps)."""
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = quat_to_rotmat_comps(quats)
+    v0 = scales[..., 0] * scales[..., 0]
+    v1 = scales[..., 1] * scales[..., 1]
+    v2 = scales[..., 2] * scales[..., 2]
+    s00 = v0 * r00 * r00 + v1 * r01 * r01 + v2 * r02 * r02
+    s01 = v0 * r00 * r10 + v1 * r01 * r11 + v2 * r02 * r12
+    s02 = v0 * r00 * r20 + v1 * r01 * r21 + v2 * r02 * r22
+    s11 = v0 * r10 * r10 + v1 * r11 * r11 + v2 * r12 * r12
+    s12 = v0 * r10 * r20 + v1 * r11 * r21 + v2 * r12 * r22
+    s22 = v0 * r20 * r20 + v1 * r21 * r21 + v2 * r22 * r22
+    return s00, s01, s02, s11, s12, s22
+
+
+def covar_cam_sym6(
+    covar6: Tuple[jnp.ndarray, ...],  # 6 arrays [..., N]
+    viewmats: jnp.ndarray,  # [..., C, 4, 4]
+) -> Tuple[jnp.ndarray, ...]:
+    """Conjugate a symmetric world covariance into each camera frame,
+    W Σ Wᵀ, in component form: the W entries are per-camera scalars that
+    broadcast over N, so the whole conjugation stays elementwise
+    ([..., C, N] outputs). Counterpart of world_to_cam's covariance
+    einsum (reference Utils.cuh covarW2C)."""
+    s00, s01, s02, s11, s12, s22 = (c[..., None, :] for c in covar6)
+    W = viewmats[..., :3, :3]
+    w = [[W[..., i, j][..., None] for j in range(3)] for i in range(3)]
+    # A = W Σ (9 components), then C = A Wᵀ (upper 6)
+    a = [
+        [
+            w[i][0] * sj0 + w[i][1] * sj1 + w[i][2] * sj2
+            for sj0, sj1, sj2 in (
+                (s00, s01, s02), (s01, s11, s12), (s02, s12, s22)
+            )
+        ]
+        for i in range(3)
+    ]
+    def dot(ai, l):
+        return ai[0] * w[l][0] + ai[1] * w[l][1] + ai[2] * w[l][2]
+
+    return (
+        dot(a[0], 0), dot(a[0], 1), dot(a[0], 2),
+        dot(a[1], 1), dot(a[1], 2), dot(a[2], 2),
+    )
+
+
+def pos_world_to_cam(
+    means: jnp.ndarray,  # [..., N, 3]
+    viewmats: jnp.ndarray,  # [..., C, 4, 4]
+) -> jnp.ndarray:
+    """Means-only world→camera transform in component form (SoA — see
+    quat_to_rotmat_comps). Returns [..., C, N, 3]. The [C,3,3]x[N,3]
+    einsum otherwise lowers to a batched matmul with layout copies."""
+    x = means[..., None, :, 0]
+    y = means[..., None, :, 1]
+    z = means[..., None, :, 2]
+    out = [
+        viewmats[..., i, 0, None] * x
+        + viewmats[..., i, 1, None] * y
+        + viewmats[..., i, 2, None] * z
+        + viewmats[..., i, 3, None]
+        for i in range(3)
+    ]
+    return jnp.stack(out, axis=-1)
 
 
 def world_to_cam(
