@@ -174,7 +174,7 @@ def rasterize_to_pixels_packed(
     colors_out, trans_out = _raster_unaligned_core(
         packed, offsets, tile_size, tile_width,
         tile_width * tile_height, T_total, max(tile_capacity // CHUNK, 1), D,
-    )  # [T, D, P], [T, P, 1]
+    )  # [T, D, P], [T, 1, P]
 
     pad_h, pad_w = tile_height * tile_size, tile_width * tile_size
     img = colors_out.reshape(I, tile_height, tile_width, D, tile_size, tile_size)
@@ -202,12 +202,14 @@ def _fwd_kernel_unaligned(
     offs_ref,  # scalar prefetch [T+1] (UNALIGNED offsets)
     packed_ref,  # [F, capacity] ANY (sorted order, no padding)
     color_out_ref,  # [D, P]
-    trans_out_ref,  # [P, 1]
+    trans_out_ref,  # [1, P] (P on lanes in HBM; transposed from the
+    # in-kernel [P, 1] column at the end — the [T, P, 1] layout wasted
+    # 127/128 lanes in every XLA op touching it, ~4 ms/step of copies)
     buf,  # scratch [3, F, CHUNK]
     sems,  # DMA sems (3,)
     acc_ref,  # [D, P]
     lograw_ref,  # [P, 1]
-    logeff_ref,  # [P, 1]
+    logeff_ref,  # [1, P]
     *,
     tile_size: int,
     tile_width: int,
@@ -302,8 +304,15 @@ def _fwd_kernel_unaligned(
                 preferred_element_type=jnp.float32,
             )
             lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
-            logeff_ref[:, :] += jnp.sum(
-                jnp.where(included, logs, 0.0), axis=1, keepdims=True
+            # accumulate logeff directly in [1, P] (P on lanes): the lane
+            # reduction runs as a [1,G]x[P,G] MXU contraction — an explicit
+            # [P,1]→[1,P] relayout at the end costs ~0.3 µs/tile (~2.7
+            # ms/step over the grid), the extra dot is ~free
+            logeff_ref[:, :] += jax.lax.dot_general(
+                jnp.ones((1, CHUNK), jnp.float32),
+                jnp.where(included, logs, 0.0),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
 
         return ()
@@ -372,7 +381,7 @@ def rasterize_to_pixels_packed_inference(
         out_specs=[
             pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -380,7 +389,7 @@ def rasterize_to_pixels_packed_inference(
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.VMEM((D, P), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
     colors_out, trans_out = pl.pallas_call(
@@ -388,7 +397,7 @@ def rasterize_to_pixels_packed_inference(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T_total, D, P), jnp.float32),
-            jax.ShapeDtypeStruct((T_total, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T_total, 1, P), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -517,10 +526,10 @@ def _bwd_chunk_grads(
 def _bwd_kernel_unaligned(
     offs_ref,  # scalar prefetch [T+1] UNALIGNED offsets
     packed_ref,  # [F, capacity_pad] ANY (raw sorted order)
-    tfinal_ref,  # [P, 1]
-    totq_ref,  # [P, 1]
+    tfinal_ref,  # [1, P] (P on lanes in HBM; transposed in-kernel)
+    totq_ref,  # [1, P]
     vcol_ref,  # [D, P]
-    valp_ref,  # [P, 1]
+    valp_ref,  # [1, P]
     vpacked_ref,  # out [Fv, capacity_pad] ANY
     buf,  # scratch [3, F, CHUNK] input slots
     sems,  # DMA sems (3,)
@@ -558,7 +567,13 @@ def _bwd_kernel_unaligned(
 
     lograw_ref[:, :] = jnp.zeros_like(lograw_ref)
     prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
-    va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]
+    # one combined [2,P]→[P,2] relayout instead of two: each in-kernel
+    # sublane↔lane transpose costs ~0.3 µs/tile (≈2.2 ms/step on the grid)
+    cols = jnp.concatenate(
+        [valp_ref[:, :] * tfinal_ref[:, :], totq_ref[:, :]], axis=0
+    ).T  # [P, 2]
+    va_tfin = cols[:, 0:1]  # [P, 1]
+    totq_col = cols[:, 1:2]  # [P, 1]
 
     @pl.when(t == 0)
     def _():
@@ -617,7 +632,7 @@ def _bwd_kernel_unaligned(
 
         gout, q, logs = _bwd_chunk_grads(
             window, px, py, tri, lograw_ref[:, 0:1], prefq_ref[:, 0:1],
-            vcol_ref[:, :], va_tfin, totq_ref[:, 0:1],
+            vcol_ref[:, :], va_tfin, totq_col,
             tx0, ty0, tile_size, D,
         )
         gout = jnp.where(in_range, gout, 0.0)
@@ -743,7 +758,7 @@ def _raster_unaligned_fwd(
         out_specs=[
             pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
@@ -751,7 +766,7 @@ def _raster_unaligned_fwd(
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.VMEM((D, P), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((1, P), jnp.float32),
         ],
     )
     colors_out, trans_out = pl.pallas_call(
@@ -759,7 +774,7 @@ def _raster_unaligned_fwd(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_total_tiles, D, P), jnp.float32),
-            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, 1, P), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -780,10 +795,8 @@ def _raster_unaligned_bwd(
     Fv = F
     P = tile_size * tile_size
 
-    v_alpha_img = -v_trans_out
-    tot_q = jnp.sum(
-        v_colors_out * colors_out, axis=1, keepdims=True
-    ).swapaxes(1, 2)
+    v_alpha_img = -v_trans_out  # [T, 1, P]
+    tot_q = jnp.sum(v_colors_out * colors_out, axis=1, keepdims=True)
 
     kern = functools.partial(
         _bwd_kernel_unaligned,
@@ -799,13 +812,13 @@ def _raster_unaligned_bwd(
         grid=(n_total_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # packed
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # tfinal
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # tot_q
             pl.BlockSpec((None, D, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # v_colors_out
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # v_alpha_img
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
