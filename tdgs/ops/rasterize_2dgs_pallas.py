@@ -158,8 +158,13 @@ def _fwd_kernel_2dgs_unaligned(
                 preferred_element_type=jnp.float32,
             )
             lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
-            logeff_ref[:, :] += jnp.sum(
-                jnp.where(included, logs, 0.0), axis=1, keepdims=True
+            # [1, P] lane-major accumulator via MXU ones-contraction (see
+            # the 3DGS kernel's logeff)
+            logeff_ref[:, :] += jax.lax.dot_general(
+                jnp.ones((1, CHUNK), jnp.float32),
+                jnp.where(included, logs, 0.0),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
 
         return ()
@@ -235,15 +240,15 @@ def rasterize_to_pixels_2dgs_packed_inference(
         out_specs=[
             pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((3, F_pad, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.VMEM((DA, P), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),  # lograw
+            pltpu.VMEM((1, P), jnp.float32),  # logeff (lane-major)
         ],
     )
     acc_out, trans_out = pl.pallas_call(
@@ -251,7 +256,7 @@ def rasterize_to_pixels_2dgs_packed_inference(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T_total, DA, P), jnp.float32),
-            jax.ShapeDtypeStruct((T_total, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((T_total, 1, P), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -404,8 +409,8 @@ def rasterize_to_pixels_2dgs_packed(
         return img[:, :image_height, :image_width]
 
     img_all = untile(acc_out, DA)
-    alp = 1.0 - untile(trans_out.swapaxes(1, 2), 1)[..., 0]
-    dst = untile(dist_out.swapaxes(1, 2), 1)
+    alp = 1.0 - untile(trans_out, 1)[..., 0]  # [T, 1, P] lane-major
+    dst = untile(dist_out, 1)
     med = untile(med_out.swapaxes(1, 2), 1)
 
     colors_img = img_all[..., :D]
@@ -527,8 +532,13 @@ def _fwd_kernel_2dgs_train(
                         jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
                         + bprev_ref[:, 0:1]
                     )
-                    dist_ref[:, :] += jnp.sum(
-                        2.0 * w * (d * Ax - Bx), axis=1, keepdims=True
+                    # [1, P] accumulator: lane reduction via a [1,G]x[P,G]
+                    # MXU ones-contraction (see the 3DGS kernel's logeff)
+                    dist_ref[:, :] += jax.lax.dot_general(
+                        jnp.ones((1, CHUNK), jnp.float32),
+                        2.0 * w * (d * Ax - Bx),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
                     )
                     aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
                     bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
@@ -541,8 +551,11 @@ def _fwd_kernel_2dgs_train(
                 )
                 med_ref[:, :] = jnp.where(idx >= 0, dmed, med_ref[:, :])
             lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
-            logeff_ref[:, :] += jnp.sum(
-                jnp.where(included, logs, 0.0), axis=1, keepdims=True
+            logeff_ref[:, :] += jax.lax.dot_general(
+                jnp.ones((1, CHUNK), jnp.float32),
+                jnp.where(included, logs, 0.0),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
 
         return ()
@@ -558,12 +571,12 @@ def _fwd_kernel_2dgs_train(
 def _bwd_kernel_2dgs_unaligned(
     offs_ref,  # scalar prefetch [T+1] UNALIGNED offsets
     packed_ref,  # [F, capacity_pad] ANY (raw sorted order)
-    tfinal_ref,  # [P, 1]
-    totq_ref,  # [P, 1]
-    btot_ref,  # [P, 1]
+    tfinal_ref,  # [1, P] (lane-major in HBM; one combined transpose below)
+    totq_ref,  # [1, P]
+    btot_ref,  # [1, P]
     vch_ref,  # [DA, P]
-    valp_ref,  # [P, 1]
-    vdist_ref,  # [P, 1]
+    valp_ref,  # [1, P]
+    vdist_ref,  # [1, P]
     vpacked_ref,  # out [F, capacity_pad] ANY
     buf,  # scratch [3, F, CHUNK] input slots
     sems,  # DMA sems (3,)
@@ -599,8 +612,23 @@ def _bwd_kernel_2dgs_unaligned(
     prefq_ref[:, :] = jnp.zeros_like(prefq_ref)
     aprev_ref[:, :] = jnp.zeros_like(aprev_ref)
     bprev_ref[:, :] = jnp.zeros_like(bprev_ref)
-    va_tfin = valp_ref[:, 0:1] * tfinal_ref[:, 0:1]
-    a_tot = 1.0 - tfinal_ref[:, 0:1]
+    # one combined [5,P]→[P,5] relayout for all per-pixel columns: each
+    # separate in-kernel sublane↔lane transpose costs ~0.3 µs/tile
+    cols = jnp.concatenate(
+        [
+            valp_ref[:, :] * tfinal_ref[:, :],
+            tfinal_ref[:, :],
+            totq_ref[:, :],
+            btot_ref[:, :],
+            vdist_ref[:, :],
+        ],
+        axis=0,
+    ).T  # [P, 5]
+    va_tfin = cols[:, 0:1]
+    a_tot = 1.0 - cols[:, 1:2]
+    totq_col = cols[:, 2:3]
+    btot_col = cols[:, 3:4]
+    vd_col = cols[:, 4:5]
 
     @pl.when(t == 0)
     def _():
@@ -687,9 +715,9 @@ def _bwd_kernel_2dgs_unaligned(
                 jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
                 + bprev_ref[:, 0:1]
             )
-            vd = vdist_ref[:, 0:1]
+            vd = vd_col
             r_dist = 2.0 * (d * Ax - Bx) + 2.0 * (
-                (btot_ref[:, 0:1] - Bx - wd) - d * (a_tot - Ax - w)
+                (btot_col - Bx - wd) - d * (a_tot - Ax - w)
             )
             r = r + vd * r_dist
             g_d_extra = vd * (2.0 * w * (2.0 * Ax + w - a_tot))  # [P, G]
@@ -701,7 +729,7 @@ def _bwd_kernel_2dgs_unaligned(
             jnp.dot(q, tri, preferred_element_type=jnp.float32)
             + prefq_ref[:, 0:1]
         )
-        suffix = totq_ref[:, 0:1] - pref_incl
+        suffix = totq_col - pref_incl
         ra = 1.0 / one_minus
         v_alpha = r * P_prev - suffix * ra + va_tfin * ra
         live = included & (alpha > 0.0)
@@ -857,9 +885,12 @@ def _raster_2dgs_unaligned_fwd(
         out_specs=[
             pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            # trans/dist lane-major [1, P] (see the 3DGS kernel); med stays
+            # [P, 1] — its select-based update has no MXU reduction form and
+            # an in-kernel transpose costs as much as the XLA-side copy
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -868,12 +899,12 @@ def _raster_2dgs_unaligned_fwd(
             pltpu.VMEM((3, F, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
             pltpu.VMEM((DA, P), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),  # lograw
+            pltpu.VMEM((1, P), jnp.float32),  # logeff (lane-major)
+            pltpu.VMEM((P, 1), jnp.float32),  # aprev
+            pltpu.VMEM((P, 1), jnp.float32),  # bprev
+            pltpu.VMEM((1, P), jnp.float32),  # dist (lane-major)
+            pltpu.VMEM((P, 1), jnp.float32),  # med
         ],
     )
     acc_out, trans_out, dist_out, med_out = pl.pallas_call(
@@ -881,8 +912,8 @@ def _raster_2dgs_unaligned_fwd(
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_total_tiles, DA, P), jnp.float32),
-            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, 1, P), jnp.float32),
+            jax.ShapeDtypeStruct((n_total_tiles, 1, P), jnp.float32),
             jax.ShapeDtypeStruct((n_total_tiles, P, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -904,11 +935,11 @@ def _raster_2dgs_unaligned_bwd(
     DA = da
     P = tile_size * tile_size
 
-    v_alpha_img = -v_trans
-    tot_q = jnp.sum(v_acc * acc_out, axis=1, keepdims=True).swapaxes(1, 2)
+    v_alpha_img = -v_trans  # [T, 1, P]
+    tot_q = jnp.sum(v_acc * acc_out, axis=1, keepdims=True)  # [T, 1, P]
     if compute_distort and depth_row >= 0:
         tot_q = tot_q + 2.0 * v_dist * dist_out
-        btot = acc_out[:, depth_row : depth_row + 1, :].swapaxes(1, 2)
+        btot = acc_out[:, depth_row : depth_row + 1, :]  # [T, 1, P]
     else:
         v_dist = jnp.zeros_like(v_trans)
         btot = jnp.zeros_like(v_trans)
@@ -928,17 +959,17 @@ def _raster_2dgs_unaligned_bwd(
         grid=(n_total_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # packed
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # tfinal
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # tot_q
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # btot
             pl.BlockSpec((None, DA, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # v_acc
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # v_alpha_img
-            pl.BlockSpec((None, P, 1), lambda i, *_: (i, 0, 0),
+            pl.BlockSpec((None, 1, P), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM),  # v_dist
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
