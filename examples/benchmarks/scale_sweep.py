@@ -1,0 +1,96 @@
+"""Scale sweep: render/train fps vs gaussian count on one TPU chip.
+
+The north-star bench (bench.py) fixes N=200k; this harness measures how
+the pipeline scales as scenes grow (the reference's MipNeRF-360 runs span
+0.36M-4M gaussians; examples/benchmarks/compression/results). Intersection
+capacity scales with N so the sort/raster workload grows proportionally.
+
+    python examples/benchmarks/scale_sweep.py [--train] [--json out.json]
+
+Prints one JSON object: {"N": {"render_fps": .., "train_fps": ..}, ...}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import bench  # noqa: E402  (repo-root bench.py: shared scene builder)
+from tdgs.rendering import rasterization  # noqa: E402
+
+WIDTH, HEIGHT = 1920, 1080
+
+
+def measure(n: int, train: bool, frames: int = 20) -> dict:
+    args = [jnp.asarray(a) for a in bench.make_scene(n)]
+    # ~6.5 intersections per gaussian at the bench density; round the
+    # capacity to the kernels' 128-entry chunk granularity
+    cap = max(1 << 17, int(n * 6.6) // 128 * 128)
+    kw = dict(sh_degree=3, tile_capacity=1024, max_tiles_per_gauss=16,
+              isect_capacity=cap)
+
+    out = {}
+    f = jax.jit(lambda *a: rasterization(
+        *a, WIDTH, HEIGHT, rasterizer="packed_inference", **kw)[0].mean())
+    r = f(*args)
+    np.asarray(r)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        r = f(*args)
+    np.asarray(r)
+    out["render_fps"] = round(frames / (time.perf_counter() - t0), 2)
+
+    if train:
+        def loss(m, q, s, o, sh, vm, K):
+            img, alpha, _ = rasterization(
+                m, q, s, o, sh, vm, K, WIDTH, HEIGHT,
+                rasterizer="packed", **kw)
+            return img.mean() + alpha.mean()
+
+        g = jax.jit(lambda *a: jax.value_and_grad(
+            loss, argnums=(0, 1, 2, 3, 4))(*a))
+        r = g(*args)
+        np.asarray(jax.tree.leaves(r)[0]).ravel()[:2]
+        steps = max(frames // 2, 5)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            r = g(*args)
+        np.asarray(jax.tree.leaves(r)[0]).ravel()[:2]
+        out["train_fps"] = round(steps / (time.perf_counter() - t0), 2)
+    out["isect_capacity"] = cap
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=str, default="100000,200000,500000,1000000")
+    ap.add_argument("--train", action="store_true")
+    ap.add_argument("--frames", type=int, default=20)
+    ap.add_argument("--json", type=str, default=None)
+    ns = ap.parse_args()
+
+    results = {}
+    for n in (int(s) for s in ns.sizes.split(",")):
+        results[str(n)] = measure(n, ns.train, ns.frames)
+        print(f"N={n}: {results[str(n)]}", file=sys.stderr, flush=True)
+    blob = json.dumps(results)
+    print(blob)
+    if ns.json:
+        with open(ns.json, "w") as f:
+            f.write(blob + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -131,3 +131,54 @@ def test_grads_flow():
     gq, gs = jax.grad(loss, argnums=(0, 1))(q, s)
     assert np.isfinite(np.asarray(gq)).all()
     assert np.isfinite(np.asarray(gs)).all()
+
+
+def test_sym6_components_match_matrix_forms():
+    """The structure-of-arrays helpers (quat_scale_to_covar_sym6,
+    covar_cam_sym6, pos_world_to_cam) must agree with the matrix-form
+    reference chain they replaced in the hot projection path."""
+    rng = np.random.default_rng(11)
+    N, C = 40, 3
+    q = rand_quats(rng, N)
+    s = rng.uniform(0.2, 1.0, size=(N, 3)).astype(np.float32)
+    means = rng.normal(size=(N, 3)).astype(np.float32)
+    viewmats = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    for c in range(C):
+        viewmats[c, :3, :3] = oracles.quat_to_rotmat_np(rng.normal(size=4))
+        viewmats[c, :3, 3] = rng.normal(size=3)
+
+    covars = oracles.covar_np(q, s)  # [N, 3, 3] f64 reference
+
+    s00, s01, s02, s11, s12, s22 = (
+        np.asarray(x)
+        for x in T.quat_scale_to_covar_sym6(jnp.asarray(q), jnp.asarray(s))
+    )
+    np.testing.assert_allclose(s00, covars[:, 0, 0], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(s01, covars[:, 0, 1], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(s02, covars[:, 0, 2], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(s11, covars[:, 1, 1], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(s12, covars[:, 1, 2], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(s22, covars[:, 2, 2], rtol=1e-4, atol=1e-6)
+
+    cam6 = [
+        np.asarray(x)
+        for x in T.covar_cam_sym6(
+            T.quat_scale_to_covar_sym6(jnp.asarray(q), jnp.asarray(s)),
+            jnp.asarray(viewmats),
+        )
+    ]  # 6 arrays [C, N]
+    mc = np.asarray(
+        T.pos_world_to_cam(jnp.asarray(means), jnp.asarray(viewmats))
+    )  # [C, N, 3]
+    for c in range(C):
+        R, t = viewmats[c, :3, :3], viewmats[c, :3, 3]
+        np.testing.assert_allclose(mc[c], means @ R.T + t, rtol=1e-4,
+                                   atol=1e-5)
+        ref = np.einsum("ij,njk,lk->nil", R, covars, R)
+        for comp, (i, j) in zip(
+            cam6, ((0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2))
+        ):
+            np.testing.assert_allclose(
+                comp[c], ref[:, i, j], rtol=1e-3, atol=1e-5,
+                err_msg=f"cam covar comp ({i},{j}) cam {c}",
+            )
