@@ -233,3 +233,165 @@ def rasterization_sharded(
     img, alpha, n_dropped = shard(*args)
     meta = {"n_dropped": n_dropped, "width": width, "height": height}
     return img, alpha, meta
+
+
+def rasterization_2dgs_sharded(
+    means: jnp.ndarray,  # [N, 3] sharded ("gauss")
+    quats: jnp.ndarray,  # [N, 4]
+    scales: jnp.ndarray,  # [N, 3]
+    opacities: jnp.ndarray,  # [N]
+    colors: jnp.ndarray,  # [N, K, 3] SH or [N, D]
+    viewmats: jnp.ndarray,  # [C, 4, 4] sharded (camera shards)
+    Ks: jnp.ndarray,  # [C, 3, 3]
+    width: int,
+    height: int,
+    mesh: Mesh,
+    axis_name: str = "gauss",
+    sh_degree: Optional[int] = None,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    radius_clip: float = 0.0,
+    tile_size: int = 16,
+    backgrounds: Optional[jnp.ndarray] = None,  # [C, D] camera-sharded
+    distloss: bool = False,
+    isect_capacity: Optional[int] = None,
+    tile_capacity: int = 512,
+    max_tiles_per_gauss: int = 32,
+    rasterizer: str = "jax",
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
+           Dict]:
+    """2DGS (surfel) counterpart of ``rasterization_sharded``: the same
+    gather→project→all_to_all→rasterize exchange, but shipping ray-space
+    transforms M [.., 3, 3] and camera-frame normals instead of conics.
+    Returns (render_colors [C, H, W, D], render_alphas, render_normals,
+    render_distort, render_median, meta), camera-sharded; differentiable
+    w.r.t. all gaussian inputs through the all_to_all (median is
+    non-differentiable, as on one device)."""
+    from tdgs.ops.projection_2dgs import fully_fused_projection_2dgs
+
+    D_mesh = mesh.shape[axis_name]
+    C = viewmats.shape[0]
+    N = means.shape[0]
+    assert C % D_mesh == 0, f"cameras {C} must divide over {D_mesh} devices"
+    assert rasterizer in ("jax", "packed", "packed_inference")
+
+    def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
+                 *maybe_bkgd):
+        n = means.shape[0]
+        viewmats_all = jax.lax.all_gather(viewmats, axis_name, tiled=True)
+        Ks_all = jax.lax.all_gather(Ks, axis_name, tiled=True)
+
+        radii, means2d, depths, M, normals = fully_fused_projection_2dgs(
+            means, quats, scales, viewmats_all, Ks_all, width, height,
+            near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip,
+        )  # [C, n, ...]
+
+        if sh_degree is None:
+            cols = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+        else:
+            campos = jnp.linalg.inv(viewmats_all)[:, :3, 3]
+            dirs = means[None, :, :] - campos[:, None, :]
+            masks = (radii > 0).all(-1)
+            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            cols = spherical_harmonics(sh_degree, dirs, shs, masks=masks)
+            cols = jnp.maximum(cols + 0.5, 0.0)
+        opac = jnp.broadcast_to(opacities[None], (C, n))
+
+        def a2a(x):
+            return jax.lax.all_to_all(
+                x, axis_name, split_axis=0, concat_axis=1, tiled=True
+            )
+
+        radii_l = a2a(radii)
+        means2d_l = a2a(means2d)
+        depths_l = a2a(depths)
+        M_l = a2a(M.reshape(C, n, 9)).reshape(-1, N, 3, 3)
+        normals_l = a2a(normals)
+        opac_l = a2a(opac)
+        cols_l = a2a(cols)
+        if distloss:
+            cols_l = jnp.concatenate(
+                [cols_l, depths_l[..., None]], axis=-1
+            )
+
+        bkgd = maybe_bkgd[0] if maybe_bkgd else None
+        if bkgd is not None and distloss:
+            bkgd = jnp.concatenate(
+                [bkgd, jnp.zeros(bkgd.shape[:-1] + (1,), bkgd.dtype)],
+                axis=-1,
+            )
+
+        c_local = radii_l.shape[0]
+        tile_width = math.ceil(width / tile_size)
+        tile_height = math.ceil(height / tile_size)
+        cap = isect_capacity or max(1 << 14, c_local * N * 4)
+
+        if rasterizer in ("packed", "packed_inference"):
+            from tdgs.ops.rasterize_2dgs_pallas import (
+                rasterize_to_pixels_2dgs_packed,
+                rasterize_to_pixels_2dgs_packed_inference,
+            )
+            from tdgs.ops.tiling import isect_tiles_packed
+
+            isect = isect_tiles_packed(
+                jax.lax.stop_gradient(means2d_l), radii_l,
+                jax.lax.stop_gradient(depths_l),
+                tile_size, tile_width, tile_height,
+                max_tiles_per_gauss=max_tiles_per_gauss,
+                capacity=isect_capacity,
+            )
+            if rasterizer == "packed_inference":
+                img, alpha, nrm = rasterize_to_pixels_2dgs_packed_inference(
+                    means2d_l, M_l, cols_l, normals_l, opac_l, width,
+                    height, tile_size, isect.offsets, isect.flatten_ids,
+                    backgrounds=bkgd, tile_capacity=tile_capacity,
+                )
+                dist = jnp.zeros_like(alpha)
+                med = jnp.zeros_like(alpha)
+            else:
+                img, alpha, nrm, dist, med = rasterize_to_pixels_2dgs_packed(
+                    means2d_l, M_l, cols_l, normals_l, opac_l, width,
+                    height, tile_size, isect.offsets, isect.flatten_ids,
+                    backgrounds=bkgd, tile_capacity=tile_capacity,
+                    has_depth=distloss, compute_distort=distloss,
+                )
+        else:
+            from tdgs.ops.rasterize_2dgs_jax import (
+                rasterize_to_pixels_2dgs_jax,
+            )
+
+            isect = isect_tiles(
+                jax.lax.stop_gradient(means2d_l), radii_l,
+                jax.lax.stop_gradient(depths_l),
+                tile_size, tile_width, tile_height,
+                capacity=cap, max_tiles_per_gauss=max_tiles_per_gauss,
+            )
+            offsets = isect_offset_encode(
+                isect.isect_keys, c_local, tile_width, tile_height
+            )
+            img, alpha, nrm, dist, med = rasterize_to_pixels_2dgs_jax(
+                means2d_l, M_l, cols_l, normals_l, opac_l, width, height,
+                tile_size, offsets, isect.flatten_ids, isect.n_isects,
+                backgrounds=bkgd, tile_capacity=tile_capacity,
+                compute_distort=distloss,
+            )
+        if distloss:
+            img = img[..., :-1]  # drop the carried depth channel
+        return img, alpha, nrm, dist, med, isect.n_dropped[None]
+
+    in_specs = [P(axis_name)] * 7
+    args = [means, quats, scales, opacities, colors, viewmats, Ks]
+    if backgrounds is not None:
+        in_specs.append(P(axis_name))
+        args.append(backgrounds)
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=tuple([P(axis_name)] * 6),
+        check_vma=False,
+    )
+    img, alpha, nrm, dist, med, n_dropped = shard(*args)
+    meta = {"n_dropped": n_dropped, "width": width, "height": height}
+    return img, alpha, nrm, dist, med, meta

@@ -178,3 +178,103 @@ def test_sharded_render_packed_grads_match_single_device():
             err_msg=name,
         )
         assert np.abs(np.asarray(gs)).max() > 0
+
+
+@pytest.mark.parametrize("rasterizer", ["jax", "packed"])
+def test_sharded_2dgs_matches_single_device(rasterizer):
+    """2DGS surfel rendering through the sharded exchange must match the
+    single-device rasterization_2dgs (same rasterizer family)."""
+    from tdgs.parallel import rasterization_2dgs_sharded
+    from tdgs.rendering import rasterization_2dgs
+
+    mesh = make_mesh()
+    D = mesh.shape["gauss"]
+    rng = np.random.default_rng(23)
+    N, C = 64 * D, D
+    width, height = 64, 48
+    means = rng.normal(size=(N, 3)).astype(np.float32) * [0.8, 0.6, 0.4]
+    means[:, 2] += 4.0
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    scales = rng.uniform(0.05, 0.15, size=(N, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, size=(N,)).astype(np.float32)
+    sh = (rng.normal(size=(N, 4, 3)) * 0.3).astype(np.float32)
+    viewmats = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    viewmats[:, 0, 3] = np.linspace(-0.2, 0.2, C)
+    f = 60.0
+    Ks = np.tile(
+        np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]],
+                 np.float32),
+        (C, 1, 1),
+    )
+
+    j = jnp.asarray
+    args = (j(means), j(quats), j(scales), j(opac), j(sh),
+            j(viewmats), j(Ks))
+    img_s, alp_s, nrm_s, dist_s, med_s, meta = rasterization_2dgs_sharded(
+        *args, width, height, mesh, sh_degree=1, distloss=True,
+        isect_capacity=1 << 13, tile_capacity=256, rasterizer=rasterizer,
+    )
+    assert int(np.asarray(meta["n_dropped"]).sum()) == 0
+    # NB isect_capacity is PER DEVICE in the sharded path (1 camera each)
+    # but global in the single-device call (all C cameras) — size it up
+    out_r = rasterization_2dgs(
+        *args, width, height, sh_degree=1, distloss=True,
+        render_mode="RGB+ED", isect_capacity=(1 << 13) * D,
+        tile_capacity=256, rasterizer=rasterizer,
+    )
+    img_r, alp_r, nrm_r, dist_r = out_r[0], out_r[1], out_r[2], out_r[4]
+
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(img_r)[..., :3], rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(alp_s), np.asarray(alp_r), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(nrm_s), np.asarray(nrm_r), rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dist_s), np.asarray(dist_r), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_sharded_2dgs_grads_flow_to_gaussians():
+    from tdgs.parallel import rasterization_2dgs_sharded
+
+    mesh = make_mesh()
+    D = mesh.shape["gauss"]
+    rng = np.random.default_rng(29)
+    N, C = 32 * D, D
+    width, height = 48, 32
+    means = rng.normal(size=(N, 3)).astype(np.float32) * 0.5
+    means[:, 2] += 3.0
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    scales = rng.uniform(0.05, 0.15, size=(N, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, size=(N,)).astype(np.float32)
+    cols = rng.uniform(0, 1, size=(N, 3)).astype(np.float32)
+    viewmats = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    f = 50.0
+    Ks = np.tile(
+        np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]],
+                 np.float32),
+        (C, 1, 1),
+    )
+
+    def loss(means_, quats_, scales_, opac_, cols_):
+        img, alpha, nrm, dist, _, _ = rasterization_2dgs_sharded(
+            means_, quats_, scales_, opac_, cols_,
+            jnp.asarray(viewmats), jnp.asarray(Ks), width, height, mesh,
+            distloss=True, isect_capacity=1 << 12, tile_capacity=128,
+            rasterizer="packed",
+        )
+        return (jnp.sum(img ** 2) + jnp.sum(alpha ** 2)
+                + jnp.sum(nrm ** 2) + jnp.sum(dist))
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(cols),
+    )
+    for name, x in zip(["means", "quats", "scales", "opac", "cols"], g):
+        x = np.asarray(x)
+        assert np.isfinite(x).all(), name
+        assert np.abs(x).max() > 0, name
