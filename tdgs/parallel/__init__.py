@@ -8,11 +8,13 @@ rendering.py:360-611 gaussian-sharded data parallelism from "On Scaling Up
 from tdgs.parallel.mesh import make_mesh
 from tdgs.parallel.sharded_render import (
     rasterization_2dgs_sharded,
+    rasterization_eval3d_sharded,
     rasterization_sharded,
 )
 
 __all__ = [
     "make_mesh",
     "rasterization_2dgs_sharded",
+    "rasterization_eval3d_sharded",
     "rasterization_sharded",
 ]

@@ -395,3 +395,194 @@ def rasterization_2dgs_sharded(
     img, alpha, nrm, dist, med, n_dropped = shard(*args)
     meta = {"n_dropped": n_dropped, "width": width, "height": height}
     return img, alpha, nrm, dist, med, meta
+
+
+def rasterization_eval3d_sharded(
+    means: jnp.ndarray,  # [N, 3] sharded ("gauss")
+    quats: jnp.ndarray,  # [N, 4]
+    scales: jnp.ndarray,  # [N, 3]
+    opacities: jnp.ndarray,  # [N]
+    colors: jnp.ndarray,  # [N, K, 3] SH or [N, D]
+    viewmats: jnp.ndarray,  # [C, 4, 4] sharded (camera shards)
+    Ks: jnp.ndarray,  # [C, 3, 3]
+    width: int,
+    height: int,
+    mesh: Mesh,
+    axis_name: str = "gauss",
+    sh_degree: Optional[int] = None,
+    near_plane: float = 0.01,
+    far_plane: float = 1e10,
+    eps2d: float = 0.3,
+    radius_clip: float = 0.0,
+    tile_size: int = 16,
+    backgrounds: Optional[jnp.ndarray] = None,  # [C, D] camera-sharded
+    camera_model: str = "pinhole",
+    isect_capacity: Optional[int] = None,
+    tile_capacity: int = 512,
+    max_tiles_per_gauss: int = 32,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
+    """World-space (eval3d / 3DGUT) sharded rendering — the multi-device
+    counterpart of ``rasterization(..., rasterizer="eval3d_packed")`` for
+    central cameras with a global shutter.
+
+    The exchange ships the per-(camera, gaussian) world-space response
+    features (w = Σ⁻¹μ', |μ'|²_Σ, the 6 precision components, opacity,
+    SH-evaluated colors) instead of 2D conics; per-tile world rays are
+    built locally per camera after the exchange. Differentiable w.r.t.
+    all gaussian inputs and the camera poses (pose-opt), exactly like
+    the single-device path."""
+    import math as _math
+
+    from tdgs.ops.camera_models import RollingShutterType
+    from tdgs.ops.rasterize_eval3d_pallas import (
+        _raster_eval3d_core,
+        _tile_rays_world,
+        CHUNK as _CHUNK,
+    )
+    from tdgs.ops.transforms import quat_scale_to_covar_sym6
+
+    D_mesh = mesh.shape[axis_name]
+    C = viewmats.shape[0]
+    N = means.shape[0]
+    assert C % D_mesh == 0, f"cameras {C} must divide over {D_mesh} devices"
+    assert camera_model == "pinhole", (
+        "sharded eval3d currently supports central pinhole cameras"
+    )
+    tile_width = _math.ceil(width / tile_size)
+    tile_height = _math.ceil(height / tile_size)
+
+    def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
+                 *maybe_bkgd):
+        n = means.shape[0]
+        viewmats_all = jax.lax.all_gather(viewmats, axis_name, tiled=True)
+        Ks_all = jax.lax.all_gather(Ks, axis_name, tiled=True)
+
+        # screen-space projection of the local shard for tiling only
+        radii, means2d, depths, _conics, _ = fully_fused_projection(
+            means, quats, scales, viewmats_all, Ks_all, width, height,
+            eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+            radius_clip=radius_clip, opacities=opacities,
+        )  # [C, n, ...]
+
+        if sh_degree is None:
+            cols = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+        else:
+            campos = jnp.linalg.inv(viewmats_all)[:, :3, 3]
+            dirs = means[None, :, :] - campos[:, None, :]
+            masks = (radii > 0).all(-1)
+            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            cols = spherical_harmonics(sh_degree, dirs, shs, masks=masks)
+            cols = jnp.maximum(cols + 0.5, 0.0)
+        D_ch = cols.shape[-1]
+
+        # world-space response features per (camera, local gaussian) —
+        # SoA (see rasterize_eval3d_pallas.rasterize_to_pixels_eval3d_packed)
+        inv_s = 1.0 / jnp.maximum(scales, 1e-8)
+        p00, p01, p02, p11, p12, p22 = quat_scale_to_covar_sym6(quats, inv_s)
+        prec6 = jnp.stack(
+            [p00, p11, p22, 2.0 * p01, 2.0 * p02, 2.0 * p12], axis=-1
+        )  # [n, 6]
+        R_wc = viewmats_all[:, :3, :3]
+        t_wc = viewmats_all[:, :3, 3]
+        o_ref = -jnp.einsum("ikj,ik->ij", R_wc, t_wc, precision="highest")
+        m0 = means[None, :, 0] - o_ref[:, None, 0]  # [C, n]
+        m1 = means[None, :, 1] - o_ref[:, None, 1]
+        m2 = means[None, :, 2] - o_ref[:, None, 2]
+        w0 = p00 * m0 + p01 * m1 + p02 * m2
+        w1 = p01 * m0 + p11 * m1 + p12 * m2
+        w2 = p02 * m0 + p12 * m1 + p22 * m2
+        mAm = w0 * m0 + w1 * m1 + w2 * m2  # [C, n]
+        F_pad = -(-(11 + D_ch) // 8) * 8
+        feats = jnp.concatenate(
+            [
+                jnp.stack([w0, w1, w2], axis=-1),
+                mAm[..., None],
+                jnp.broadcast_to(prec6[None], (C, n, 6)),
+                jnp.broadcast_to(opacities[None, :, None], (C, n, 1)),
+                cols,
+                jnp.zeros((C, n, F_pad - 11 - D_ch), jnp.float32),
+            ],
+            axis=-1,
+        )  # [C, n, F_pad]
+
+        def a2a(x):
+            return jax.lax.all_to_all(
+                x, axis_name, split_axis=0, concat_axis=1, tiled=True
+            )
+
+        radii_l = a2a(radii)
+        means2d_l = a2a(means2d)
+        depths_l = a2a(depths)
+        feats_l = a2a(feats)  # [c_local, N, F]
+        c_local = radii_l.shape[0]
+        T_local = c_local * tile_width * tile_height
+        P_px = tile_size * tile_size
+
+        # per-tile world rays for the LOCAL cameras (global shutter)
+        d, o_prime, _, _ = _tile_rays_world(
+            c_local, tile_width, tile_height, tile_size, width, height,
+            viewmats, Ks, camera_model, None, None, None, None,
+            RollingShutterType.GLOBAL, None,
+        )
+        rays = jnp.concatenate(
+            [
+                d.swapaxes(1, 2),
+                o_prime.swapaxes(1, 2),
+                jnp.zeros((T_local, 2, P_px), jnp.float32),
+            ],
+            axis=1,
+        )  # [T, 8, P]
+
+        from tdgs.ops.tiling import isect_tiles_packed
+
+        isect = isect_tiles_packed(
+            jax.lax.stop_gradient(means2d_l), radii_l,
+            jax.lax.stop_gradient(depths_l),
+            tile_size, tile_width, tile_height,
+            max_tiles_per_gauss=max_tiles_per_gauss,
+            capacity=isect_capacity,
+        )
+        capacity = isect.flatten_ids.shape[0]
+        pad = (-capacity) % _CHUNK + _CHUNK
+        flatten_ids = jnp.pad(isect.flatten_ids, (0, pad))
+        feats_f = jax.lax.optimization_barrier(
+            feats_l.reshape(c_local * N, F_pad)
+        )
+        packed = jax.lax.optimization_barrier(feats_f[flatten_ids]).T
+
+        colors_out, trans_out = _raster_eval3d_core(
+            packed, rays, isect.offsets, T_local,
+            max(tile_capacity // _CHUNK, 1), D_ch, P_px, True,
+        )
+        pad_h = tile_height * tile_size
+        pad_w = tile_width * tile_size
+        img = colors_out.reshape(
+            c_local, tile_height, tile_width, D_ch, tile_size, tile_size
+        ).transpose(0, 1, 4, 2, 5, 3).reshape(c_local, pad_h, pad_w, D_ch)
+        alp = 1.0 - trans_out.reshape(
+            c_local, tile_height, tile_width, tile_size, tile_size
+        ).transpose(0, 1, 3, 2, 4).reshape(c_local, pad_h, pad_w)
+        img = img[:, :height, :width, :]
+        alp = alp[:, :height, :width]
+        bkgd = maybe_bkgd[0] if maybe_bkgd else None
+        if bkgd is not None:
+            img = img + (1.0 - alp[..., None]) * bkgd.reshape(
+                c_local, 1, 1, D_ch
+            )
+        return img, alp[..., None], isect.n_dropped[None]
+
+    in_specs = [P(axis_name)] * 7
+    args = [means, quats, scales, opacities, colors, viewmats, Ks]
+    if backgrounds is not None:
+        in_specs.append(P(axis_name))
+        args.append(backgrounds)
+    shard = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=tuple(in_specs),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    img, alpha, n_dropped = shard(*args)
+    meta = {"n_dropped": n_dropped, "width": width, "height": height}
+    return img, alpha, meta
