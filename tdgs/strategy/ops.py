@@ -41,6 +41,23 @@ def zero_opt_rows(opt_state: Any, mask: jnp.ndarray) -> Any:
     return jax.tree.map(f, opt_state)
 
 
+def pad_rows(tree: Any, old_capacity: int, new_capacity: int) -> Any:
+    """Pad every array leaf whose leading dim equals ``old_capacity`` with
+    zero rows up to ``new_capacity`` (host re-jit capacity growth: new rows
+    are dead slots, so zero optimizer moments / strategy accumulators are
+    exactly what a freshly granted slot gets from zero_opt_rows anyway)."""
+    pad = new_capacity - old_capacity
+    assert pad >= 0
+
+    def f(leaf):
+        if isinstance(leaf, jnp.ndarray) and leaf.ndim >= 1 \
+                and leaf.shape[0] == old_capacity:
+            return jnp.pad(leaf, [(0, pad)] + [(0, 0)] * (leaf.ndim - 1))
+        return leaf
+
+    return jax.tree.map(f, tree)
+
+
 def _logit(x):
     return jnp.log(x) - jnp.log1p(-x)
 

@@ -110,6 +110,13 @@ class Config:
     )
     # static gaussian capacity; None → MCMC cap_max or 4x initial count
     capacity: Optional[int] = None
+    # host re-jit capacity growth (DefaultStrategy only; the reference's
+    # DefaultStrategy grows N unboundedly, strategy/default.py:262-309).
+    # When set, capacity doubles — one recompile at the new static shape —
+    # whenever alive gaussians exceed capacity_growth_at of the current
+    # capacity, up to max_capacity. None = fixed capacity.
+    max_capacity: Optional[int] = None
+    capacity_growth_at: float = 0.85
 
     # pose optimization (reference CameraOptModule)
     pose_opt: bool = False

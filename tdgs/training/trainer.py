@@ -813,6 +813,14 @@ class Runner:
                         lr=float(lr_dict["means"]),
                     )
                 )
+                if (
+                    cfg.max_capacity
+                    and isinstance(self.strategy, DefaultStrategy)
+                    and step >= self.strategy.refine_start_iter
+                    and step <= self.strategy.refine_stop_iter
+                    and step % self.strategy.refine_every == 0
+                ):
+                    self.maybe_grow_capacity()
 
             nancheck = int(os.environ.get("TDGS_NANCHECK", "0") or 0)
             if nancheck and step % nancheck == 0:
@@ -984,12 +992,47 @@ class Runner:
         with open(os.path.join(self.ckpt_dir, f"ckpt_{step}.pkl"), "wb") as f:
             pickle.dump(state, f)
 
+    def maybe_grow_capacity(self) -> bool:
+        """Double the static gaussian capacity when the alive fraction
+        crosses cfg.capacity_growth_at (host-side re-jit growth).
+
+        The reference's DefaultStrategy grows N without bound
+        (strategy/default.py:262-309 appends rows). The TPU design keeps
+        shapes static inside jit and instead doubles the capacity here —
+        one recompile per doubling, so XLA sees only a handful of shapes
+        over a whole run. New rows are dead slots (pad_splats) with zero
+        optimizer moments and strategy accumulators (pad_rows), exactly
+        the state a freshly granted slot gets from zero_opt_rows."""
+        cfg = self.cfg
+        if not cfg.max_capacity or self.capacity >= cfg.max_capacity:
+            return False
+        thresh = getattr(self.strategy, "prune_opa", 1.0 / 255.0)
+        alive = int(
+            np.asarray(
+                (jax.nn.sigmoid(self.splats["opacities"]) > thresh).sum()
+            )
+        )
+        if alive <= cfg.capacity_growth_at * self.capacity:
+            return False
+        from tdgs.strategy.ops import pad_rows
+
+        old = self.capacity
+        new_cap = min(2 * old, int(cfg.max_capacity))
+        if new_cap <= old:
+            return False
+        self.splats = G.pad_splats(self.splats, new_cap)
+        self.opt_state = pad_rows(self.opt_state, old, new_cap)
+        self.strategy_state = pad_rows(self.strategy_state, old, new_cap)
+        self.capacity = new_cap
+        return True
+
     def load_checkpoint(self, path: str) -> int:
         import pickle
 
         with open(path, "rb") as f:
             state = pickle.load(f)
         self.splats = jax.tree.map(jnp.asarray, state["splats"])
+        self.capacity = self.splats["means"].shape[0]
         self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
         self.strategy_state.update(state["strategy_state"])
         if "segmentation_head" in state:

@@ -333,3 +333,49 @@ def test_trainer_background_color(tmp_path):
     np.testing.assert_allclose(
         np.asarray(img[0]).reshape(-1, 3).mean(0), [0.2, 0.5, 0.9], atol=1e-3
     )
+
+
+def test_trainer_capacity_growth(tmp_path):
+    """Host re-jit capacity growth (reference DefaultStrategy grows N
+    unboundedly, strategy/default.py:262-309): with max_capacity set and
+    the alive fraction above capacity_growth_at, the Runner doubles the
+    static capacity at a refine boundary; optimizer moments and strategy
+    accumulators are padded with dead rows and training keeps working."""
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=40,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        strategy=DefaultStrategy(refine_start_iter=10, refine_every=10,
+                                 refine_stop_iter=100, reset_every=10_000),
+        capacity=128,  # scene has 120 SfM points → alive frac ≈ 0.94
+        max_capacity=512,
+        capacity_growth_at=0.85,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=1000,
+        rasterizer="jax",
+    )
+    runner = Runner(cfg)
+    assert runner.capacity == 128
+    out = runner.train()
+    # growth fired at least once (it may fire again if densification
+    # fills the grown slots before the next refine boundary)
+    cap = runner.capacity
+    assert cap in (256, 512), cap
+    assert runner.splats["means"].shape[0] == cap
+    # optimizer moments and strategy state padded to the new capacity
+    flat = jax.tree.leaves(runner.opt_state)
+    assert any(
+        getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == cap
+        for leaf in flat
+    )
+    assert runner.strategy_state["grad2d"].shape[0] == cap
+    assert np.isfinite(out["history"][-1]["loss"])
+    # dead padding renders nothing: alive count stays below capacity
+    op = np.asarray(jax.nn.sigmoid(runner.splats["opacities"]))
+    assert (op > 1.0 / 255.0).sum() < cap
