@@ -16,6 +16,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from tdgs.utils.platform import apply_platform_env
+
+apply_platform_env()  # honor JAX_PLATFORM_NAME even if the plugin ignores it
+
 from tdgs.strategy import DefaultStrategy, MCMCStrategy
 from tdgs.training.config import Config
 from tdgs.training.trainer import Runner
@@ -112,6 +116,15 @@ def main():
     print(json.dumps(out["history"][-3:]))
     stats = runner.eval(cfg.max_steps)
     print(json.dumps(stats))
+    if cfg.compression:
+        # post-training compression round-trip + eval
+        # (reference --compression png → run_compression)
+        print(json.dumps(runner.run_compression(cfg.max_steps)))
+    if not cfg.disable_video:
+        # camera-trajectory video (reference render_traj at train end)
+        print(runner.render_traj(
+            cfg.max_steps, traj_path=cfg.render_traj_path
+        ))
     if runner.viewer is not None:
         # keep the live viewer up after training (reference
         # simple_trainer.py:1646-1650 "Ctrl+C to exit")

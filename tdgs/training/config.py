@@ -118,6 +118,25 @@ class Config:
     max_capacity: Optional[int] = None
     capacity_growth_at: float = 0.85
 
+    # post-training compression stage (reference --compression png →
+    # Runner.run_compression, simple_trainer.py:1464-1478)
+    compression: Optional[str] = None
+    # camera-trajectory video after training (reference render_traj_path /
+    # disable_video; path type: interp | ellipse | spiral)
+    render_traj_path: str = "interp"
+    disable_video: bool = False
+    # extra scene-scale multiplier (reference global_scale)
+    global_scale: float = 1.0
+    # visibility-masked (selective) Adam. The reference gates this behind
+    # --visible_adam (default off, CUDA op); on TPU the mask is a free
+    # jnp.where, so it defaults ON here. Set False for plain Adam.
+    visible_adam: bool = True
+    # save eval renders next to the stats JSONs (reference tb_save_image)
+    tb_save_image: bool = False
+    # NOT ported: reference Config.dash_gaussian is dead code (its
+    # dash_scheduler is never constructed anywhere in the reference),
+    # and use_fused_bilagrid imports an external package.
+
     # pose optimization (reference CameraOptModule)
     pose_opt: bool = False
     pose_opt_lr: float = 1e-5
@@ -137,6 +156,7 @@ class Config:
     # identity-vector segmentation (fork extension, simple_trainer.py:198-220)
     with_segmentation: bool = False
     identity_dim: int = 16
+    identity_lr: float = 1.6e-3
     seg_start_iter: int = 1000
     seg_loss_every: int = 50
     seg_loss_weight: float = 0.3

@@ -46,7 +46,7 @@ def make_lr_schedules(cfg: Config, scene_scale: float, max_steps: int):
         "opacities": cfg.opacities_lr * bs_scale,
         "sh0": cfg.sh0_lr * bs_scale,
         "shN": cfg.shN_lr * bs_scale,
-        "identity_encodings": cfg.sh0_lr * bs_scale,
+        "identity_encodings": cfg.identity_lr * bs_scale,
         # appearance-mode params (reference simple_trainer.py:328-332)
         "features": cfg.sh0_lr * bs_scale,
         "colors": cfg.sh0_lr * bs_scale,
@@ -135,7 +135,10 @@ class Runner:
                 self.trainset.enable_prefetch()
             except Exception:
                 pass  # PIL fallback stays in place
-        self.scene_scale = self.parser.scene_scale * 1.1 * cfg.init_extent / 3.0
+        self.scene_scale = (
+            self.parser.scene_scale * 1.1 * cfg.init_extent / 3.0
+            * cfg.global_scale
+        )
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key, seg_key = jax.random.split(key, 3)
@@ -636,7 +639,8 @@ class Runner:
 
         visibility = (aux["radii"] > 0).all(-1).any(axis=tuple(range(aux["radii"].ndim - 2)))
         params, opt_state = self.optimizer.update(
-            g_params, opt_state, params, lr_dict, visibility=visibility
+            g_params, opt_state, params, lr_dict,
+            visibility=visibility if cfg.visible_adam else None,
         )
         if cfg.max_scale is not None:
             # projection onto the scale constraint (Config.max_scale)
@@ -884,12 +888,14 @@ class Runner:
                 self.eval(step)
             if step in cfg.save_steps:
                 self.save_checkpoint(step)
+            if cfg.save_ply and step in cfg.ply_steps:
+                self.export_ply(step)
 
         wall = time.time() - t0
         return {"history": history, "wall_time_s": wall}
 
     # ------------------------------------------------------------------
-    def eval(self, step: int) -> Dict[str, float]:
+    def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
         cfg = self.cfg
         metrics = defaultdict(list)
         t0 = time.time()
@@ -913,6 +919,21 @@ class Runner:
             from tdgs.training.metrics import lpips
 
             metrics["lpips"].append(float(lpips(pred[None], gt[None])[0]))
+            if cfg.tb_save_image:
+                # reference tb_save_image: persist eval renders for
+                # inspection (saved as PNGs next to the stats JSONs)
+                from PIL import Image
+
+                arr = np.concatenate(
+                    [np.asarray(gt), np.asarray(pred)], axis=1
+                )
+                Image.fromarray(
+                    (np.clip(arr, 0, 1) * 255).astype(np.uint8)
+                ).save(
+                    os.path.join(
+                        self.stats_dir, f"{stage}_step{step}_{i:04d}.png"
+                    )
+                )
         ellipse = (time.time() - t0) / max(len(self.valset), 1)
         out = {k: float(np.mean(v)) for k, v in metrics.items()}
         # absolute values of the random-filter proxy are NOT comparable to
@@ -922,11 +943,13 @@ class Runner:
         out["num_GS"] = int(
             np.asarray(G.alive_mask(self.splats)).sum()
         )
-        with open(os.path.join(self.stats_dir, f"val_step{step}.json"), "w") as f:
+        with open(
+            os.path.join(self.stats_dir, f"{stage}_step{step}.json"), "w"
+        ) as f:
             json.dump(out, f)
         self.logger.log(
             step,
-            {f"val/{k}": v for k, v in out.items()
+            {f"{stage}/{k}": v for k, v in out.items()
              if isinstance(v, (int, float))},
         )
         return out
@@ -991,6 +1014,53 @@ class Runner:
             state["segmentation_head"] = jax.tree.map(np.asarray, self.seg_head)
         with open(os.path.join(self.ckpt_dir, f"ckpt_{step}.pkl"), "wb") as f:
             pickle.dump(state, f)
+
+    def export_ply(self, step: int, format: str = "ply") -> str:
+        """Export the alive splats at ``step`` (reference ply_steps export,
+        simple_trainer.py:1148-1181 via exporter.export_splats). Dead
+        capacity-padding rows are dropped so the file holds the real N."""
+        from tdgs.utils.ply import export_splats
+
+        keep = np.asarray(G.alive_mask(self.splats))
+        s = {k: np.asarray(v)[keep] for k, v in self.splats.items()
+             if k in ("means", "scales", "quats", "opacities", "sh0", "shN")}
+        extra = {
+            k: np.asarray(v)[keep]
+            for k, v in self.splats.items()
+            if k not in s
+        }
+        ply_dir = os.path.join(self.cfg.result_dir, "ply")
+        os.makedirs(ply_dir, exist_ok=True)
+        ext = "splat" if format == "splat" else "ply"
+        out = os.path.join(ply_dir, f"point_cloud_{step}.{ext}")
+        export_splats(
+            s["means"], s["scales"], s["quats"], s["opacities"],
+            s["sh0"], s["shN"], format=format, save_to=out,
+            extra=extra if format == "ply" and extra else None,
+        )
+        return out
+
+    def run_compression(self, step: int) -> Dict[str, float]:
+        """Compress the trained splats, decompress them back, and eval the
+        round-trip (reference Runner.run_compression,
+        simple_trainer.py:1464-1478; stats land in stats/compress_step*)."""
+        from tdgs.compression import PngCompression
+
+        compress_dir = os.path.join(self.cfg.result_dir, "compression")
+        keep = np.asarray(G.alive_mask(self.splats))
+        splats_np = {
+            k: np.asarray(v)[keep] for k, v in self.splats.items()
+        }
+        method = PngCompression()
+        method.compress(compress_dir, splats_np)
+        splats_c = method.decompress(compress_dir)
+        orig = self.splats
+        try:
+            self.splats = {k: jnp.asarray(v) for k, v in splats_c.items()}
+            stats = self.eval(step, stage="compress")
+        finally:
+            self.splats = orig
+        return stats
 
     def maybe_grow_capacity(self) -> bool:
         """Double the static gaussian capacity when the alive fraction
