@@ -24,7 +24,7 @@ from tdgs.ops.indices import (
     rasterize_to_indices_in_range,
     rasterize_to_indices_in_range_2dgs,
 )
-from tdgs.ops.adam import selective_adam
+from tdgs.ops.adam import SelectiveAdam, selective_adam
 from tdgs.ops.projection import (
     fully_fused_projection,
     proj,
@@ -86,6 +86,7 @@ __all__ = [
     "RollingShutterType",
     "fully_fused_projection_with_ut",
     "rasterize_to_pixels_eval3d",
+    "SelectiveAdam",
     "selective_adam",
     "compute_relocation",
     "export_splats",

@@ -70,3 +70,65 @@ def selective_adam(
         return steps, SelectiveAdamState(state.count + 1, new_m, new_v)
 
     return optax.GradientTransformationExtraArgs(init_fn, update_fn)
+
+
+class SelectiveAdam:
+    """Stateful wrapper matching the reference optimizer's name and
+    ``step(visibility)`` shape (gsplat/optimizers/selective_adam.py:6-86).
+
+    JAX training loops should use the functional :func:`selective_adam`
+    transformation above (jit-friendly; the trainer does). This class holds
+    params + moments for script-style use, mirroring the torch optimizer:
+
+        opt = SelectiveAdam(params, lr=1e-3, eps=1e-8, betas=(0.9, 0.999))
+        params = opt.step(grads, visibility=vis_mask)
+
+    ``lr`` may be a scalar or a dict keyed like ``params`` (the analog of
+    the reference's per-group learning rates). Like the CUDA kernel, there
+    is no bias correction, and masked-out rows keep both moments and value.
+    """
+
+    def __init__(self, params, lr=1e-3, eps: float = 1e-8,
+                 betas=(0.9, 0.999)):
+        self.params = params
+        self.lr = lr
+        self.eps = eps
+        self.b1, self.b2 = betas
+        self.exp_avg = jax.tree.map(jnp.zeros_like, params)
+        self.exp_avg_sq = jax.tree.map(jnp.zeros_like, params)
+
+    def step(self, grads, visibility: Optional[jnp.ndarray] = None):
+        def upd(path_lr, p, g, m, v):
+            m_new = self.b1 * m + (1.0 - self.b1) * g
+            v_new = self.b2 * v + (1.0 - self.b2) * g * g
+            p_new = p - path_lr * m_new / (jnp.sqrt(v_new) + self.eps)
+            if visibility is not None:
+                vis = visibility.reshape(
+                    visibility.shape + (1,) * (g.ndim - 1)
+                )
+                p_new = jnp.where(vis, p_new, p)
+                m_new = jnp.where(vis, m_new, m)
+                v_new = jnp.where(vis, v_new, v)
+            return p_new, m_new, v_new
+
+        if isinstance(self.lr, dict):
+            assert isinstance(self.params, dict), "dict lr needs dict params"
+            out = {
+                k: upd(self.lr[k], self.params[k], grads[k],
+                       self.exp_avg[k], self.exp_avg_sq[k])
+                for k in self.params
+            }
+            self.params = {k: o[0] for k, o in out.items()}
+            self.exp_avg = {k: o[1] for k, o in out.items()}
+            self.exp_avg_sq = {k: o[2] for k, o in out.items()}
+        else:
+            flat_p, tree = jax.tree.flatten(self.params)
+            flat_g = tree.flatten_up_to(grads)
+            flat_m = tree.flatten_up_to(self.exp_avg)
+            flat_v = tree.flatten_up_to(self.exp_avg_sq)
+            out = [upd(self.lr, p, g, m, v)
+                   for p, g, m, v in zip(flat_p, flat_g, flat_m, flat_v)]
+            self.params = tree.unflatten([o[0] for o in out])
+            self.exp_avg = tree.unflatten([o[1] for o in out])
+            self.exp_avg_sq = tree.unflatten([o[2] for o in out])
+        return self.params

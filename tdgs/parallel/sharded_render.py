@@ -72,6 +72,7 @@ def rasterization_sharded(
     tile_capacity: int = 512,
     max_tiles_per_gauss: int = 32,
     rasterizer: str = "jax",
+    means2d_offset: Optional[jnp.ndarray] = None,  # [C, N, 2] gauss-sharded
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Collaboratively render C cameras from N gaussians sharded over the mesh.
 
@@ -82,6 +83,13 @@ def rasterization_sharded(
     home device (no gradient all-reduce, matching the reference's ownership
     model). ``rasterize_mode="antialiased"`` applies the projection blur
     compensation to opacities (reference rendering.py antialiased mode).
+
+    ``means2d_offset`` is the screen-gradient tap for densification (same
+    contract as single-device ``rasterization``): a zeros array [C, N, 2]
+    sharded like the gaussians on axis 1, added to the projected means2d
+    *before* the all_to_all so its gradient arrives gaussian-sharded on
+    each owner device. ``meta["radii"]`` carries the pre-exchange radii
+    [C, N, 2] for visibility masks (selective Adam / strategy state).
     """
     D_mesh = mesh.shape[axis_name]
     C = viewmats.shape[0]
@@ -94,9 +102,15 @@ def rasterization_sharded(
     need_depth = render_mode in ("D", "ED", "RGB+D", "RGB+ED")
     depth_only = render_mode in ("D", "ED")
 
+    has_bkgd = backgrounds is not None
+    has_offset = means2d_offset is not None
+
     def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
-                 *maybe_bkgd):
+                 *extras):
         # means etc: local shard [n, ...]; viewmats: local cameras [c, 4, 4]
+        extras = list(extras)
+        bkgd_in = extras.pop(0) if has_bkgd else None
+        offset_in = extras.pop(0) if has_offset else None  # [C, n, 2]
         n = means.shape[0]
         # (1) gather all cameras (reference rendering.py:366-381)
         viewmats_all = jax.lax.all_gather(viewmats, axis_name, tiled=True)
@@ -109,6 +123,10 @@ def rasterization_sharded(
             radius_clip=radius_clip, opacities=opacities,
             calc_compensations=calc_compensations,
         )  # [C, n, ...]
+        if offset_in is not None:
+            # densification tap: grads w.r.t. it = screen-space means2d
+            # grads, delivered gaussian-sharded to each owner device
+            means2d = means2d + offset_in
 
         # (3) colors for all cameras
         if sh_degree is None:
@@ -148,7 +166,7 @@ def rasterization_sharded(
                     [cols_l, depths_l[..., None]], axis=-1
                 )
 
-        bkgd = maybe_bkgd[0] if maybe_bkgd else None
+        bkgd = bkgd_in
         if bkgd is not None:
             dch = cols_l.shape[-1]
             if bkgd.shape[-1] < dch:  # zero background on the depth channel
@@ -216,22 +234,31 @@ def rasterization_sharded(
                 [img[..., :-1],
                  img[..., -1:] / jnp.maximum(alpha, 1e-10)], axis=-1,
             )
-        return img, alpha, isect.n_dropped[None]  # [1] per device → [D]
+        # n_dropped: [1] per device → [D]; radii pre-exchange: [C, n] local
+        # → [C, N] global (gaussian axis restored by the out_spec concat)
+        return img, alpha, isect.n_dropped[None], radii
 
     in_specs = [P(axis_name)] * 7
     args = [means, quats, scales, opacities, colors, viewmats, Ks]
-    if backgrounds is not None:
+    if has_bkgd:
         in_specs.append(P(axis_name))
         args.append(backgrounds)
+    if has_offset:
+        in_specs.append(P(None, axis_name))
+        args.append(means2d_offset)
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name),
+                   P(None, axis_name)),
         check_vma=False,
     )
-    img, alpha, n_dropped = shard(*args)
-    meta = {"n_dropped": n_dropped, "width": width, "height": height}
+    img, alpha, n_dropped, radii = shard(*args)
+    meta = {
+        "n_dropped": n_dropped, "width": width, "height": height,
+        "radii": radii,
+    }
     return img, alpha, meta
 
 

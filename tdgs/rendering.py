@@ -76,6 +76,14 @@ def rasterization(
     ftheta_coeffs=None,
     rolling_shutter=None,
     viewmats_rs: Optional[jnp.ndarray] = None,
+    # --- reference drop-in kwargs (gsplat/rendering.py:33 argument set) ---
+    packed: Optional[bool] = None,
+    sparse_grad: bool = False,
+    segmented: bool = False,
+    absgrad: bool = False,
+    channel_chunk: int = 32,
+    distributed: bool = False,
+    with_eval3d: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Rasterize N 3D Gaussians to C cameras (arbitrary leading batch dims).
 
@@ -96,7 +104,59 @@ def rasterization(
       (the reference's meta["means2d"].absgrad, per-tile instead of
       per-pixel — see rasterize_jax.absgrad_tap). Supported by the "jax"
       and "packed" rasterizers.
+
+    Reference drop-in kwargs (accepted so gsplat call sites run unchanged):
+
+    - ``packed`` / ``sparse_grad`` select CUDA COO layouts and ``segmented``
+      a radix-sort variant — pure implementation details of the CUDA build;
+      here layout is always dense masked and sorting is ``lax.sort``, so
+      they are accepted and ignored.
+    - ``channel_chunk``: the CUDA rasterizer templates channel counts and
+      chunks wide colors; the kernels here take D as a static shape
+      directly, so no chunking is needed — accepted and ignored.
+    - ``absgrad=True`` requires the explicit tap (see above): without JAX
+      having a ``.grad`` side channel it cannot be emulated silently, so it
+      raises with the tap recipe unless ``means2d_abs_tap`` is given.
+    - ``distributed=True``: single-device it is a no-op (matching the
+      reference's world_size==1 path); multi-device it delegates to
+      :func:`tdgs.parallel.rasterization_sharded` over a 1-D mesh of all
+      devices (reference rendering.py:366-611 exchange semantics).
+    - ``with_eval3d=True`` selects the world-space rasterizer (reference
+      rendering.py:668-759): Pallas fast path on TPU, jnp oracle elsewhere.
     """
+    if absgrad and means2d_abs_tap is None:
+        raise ValueError(
+            "absgrad: JAX has no tensor.grad side channel — pass "
+            "means2d_abs_tap=jnp.zeros(batch + (C, N, 2)) and take the "
+            "gradient of the loss w.r.t. that input (the trainer's "
+            "DefaultStrategy absgrad path shows the pattern)."
+        )
+    del packed, sparse_grad, segmented, channel_chunk, absgrad
+    if with_eval3d and not rasterizer.startswith("eval3d"):
+        rasterizer = (
+            "eval3d_packed" if jax.default_backend() == "tpu" else "eval3d"
+        )
+    if distributed and jax.device_count() > 1:
+        from tdgs.parallel.mesh import make_mesh
+        from tdgs.parallel.sharded_render import rasterization_sharded
+
+        assert not means.shape[:-2], (
+            "distributed=True supports unbatched [N] gaussians"
+        )
+        assert not rasterizer.startswith("eval3d") and not with_ut, (
+            "distributed eval3d/UT: use tdgs.parallel."
+            "rasterization_eval3d_sharded directly"
+        )
+        return rasterization_sharded(
+            means, quats, scales, opacities, colors, viewmats, Ks,
+            width, height, make_mesh(),
+            sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+            eps2d=eps2d, radius_clip=radius_clip, tile_size=tile_size,
+            backgrounds=backgrounds, render_mode=render_mode,
+            rasterize_mode=rasterize_mode, isect_capacity=isect_capacity,
+            tile_capacity=tile_capacity,
+            max_tiles_per_gauss=max_tiles_per_gauss, rasterizer=rasterizer,
+        )
     meta: Dict = {}
     batch_dims = means.shape[:-2]
     num_batch_dims = len(batch_dims)
@@ -541,6 +601,11 @@ def rasterization_2dgs(
     isect_exact: bool = False,
     isect_exact_depth: bool = False,
     rasterizer: str = "jax",
+    # --- reference drop-in kwargs (gsplat/rendering.py:1270 argument set) ---
+    eps2d: float = 0.3,
+    packed: Optional[bool] = None,
+    sparse_grad: bool = False,
+    absgrad: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     """Rasterize 2D (surfel) Gaussians — API parity with the reference's
     ``rasterization_2dgs`` (gsplat/rendering.py:1270): returns
@@ -550,7 +615,21 @@ def rasterization_2dgs(
     ``rasterizer``: "jax" (differentiable jnp oracle, full outputs),
     "packed" (differentiable streaming Pallas training path, full outputs;
     median depth is non-differentiable), or "packed_inference" (fastest
-    forward-only path; distortion/median outputs are zeros)."""
+    forward-only path; distortion/median outputs are zeros).
+
+    Reference drop-in kwargs: ``packed``/``sparse_grad`` (CUDA COO layouts;
+    dense masked here) are accepted and ignored. ``eps2d`` is accepted for
+    signature parity — the reference's own 2DGS CUDA projection never reads
+    it (Projection2DGSFused.cu takes no eps2d; only the wrapper signature
+    carries it), so it is ignored here too. ``absgrad`` has no 2DGS tap yet
+    and raises if True (use the 3DGS path's means2d_abs_tap pattern)."""
+    if absgrad:
+        raise ValueError(
+            "absgrad for 2DGS: not supported — densify on meta['means2d'] "
+            "gradients (the 2DGS trainer's default), or use the 3DGS "
+            "path's explicit means2d_abs_tap."
+        )
+    del packed, sparse_grad, eps2d
     from tdgs.ops.projection_2dgs import fully_fused_projection_2dgs
     from tdgs.ops.rasterize_2dgs_jax import rasterize_to_pixels_2dgs_jax
     from tdgs.utils.depth import depth_to_normal

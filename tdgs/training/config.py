@@ -133,6 +133,12 @@ class Config:
     visible_adam: bool = True
     # save eval renders next to the stats JSONs (reference tb_save_image)
     tb_save_image: bool = False
+    # multi-device gaussian-sharded training (the reference's distributed
+    # mode, gsplat/rendering.py:360-611 + distributed.py, re-done as one
+    # shard_map over a 1-D device mesh — tdgs/parallel/sharded_render.py).
+    # Requires batch_size % n_devices == 0 and capacity % n_devices == 0;
+    # eval/render paths fall back to replicated single-program rendering.
+    sharded: bool = False
     # NOT ported: reference Config.dash_gaussian is dead code (its
     # dash_scheduler is never constructed anywhere in the reference),
     # and use_fused_bilagrid imports an external package.

@@ -140,13 +140,55 @@ class Runner:
             * cfg.global_scale
         )
 
+        # multi-device gaussian-sharded training (reference distributed
+        # mode; see Config.sharded). The mesh is built once; splats and
+        # optimizer state live sharded on the "gauss" axis for the whole
+        # run, and the train step renders through rasterization_sharded.
+        self.mesh = None
+        if cfg.sharded:
+            from tdgs.parallel import make_mesh
+
+            self.mesh = make_mesh()
+            n_dev = self.mesh.shape["gauss"]
+            assert n_dev > 1, "sharded=True needs >1 device"
+            assert cfg.batch_size % n_dev == 0, (
+                f"sharded: batch_size {cfg.batch_size} must divide over "
+                f"{n_dev} devices (each renders batch/D cameras)"
+            )
+            assert not (cfg.with_ut or cfg.with_eval3d), (
+                "sharded UT/eval3d: use tdgs.parallel."
+                "rasterization_eval3d_sharded directly"
+            )
+            assert cfg.model_type == "3dgs", (
+                "sharded training currently covers the 3DGS family"
+            )
+            assert not cfg.app_opt, (
+                "sharded + app_opt: per-camera colors are not exchanged"
+            )
+            assert cfg.camera_model == "pinhole", (
+                "sharded rendering covers the pinhole model"
+            )
+            if isinstance(cfg.strategy, DefaultStrategy):
+                assert not cfg.strategy.absgrad, (
+                    "sharded + absgrad: the |grad| tap is single-device "
+                    "only; densify on plain means2d grads"
+                )
+
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key, seg_key = jax.random.split(key, 3)
         self.splats = self._init_splats(init_key)
         self.capacity = self.splats["means"].shape[0]
+        if self.mesh is not None:
+            assert self.capacity % self.mesh.shape["gauss"] == 0, (
+                f"sharded: capacity {self.capacity} must divide over "
+                f"{self.mesh.shape['gauss']} devices"
+            )
+            self.splats = self._shard_gauss(self.splats)
 
         self.optimizer = SplatOptimizer(cfg, self.scene_scale, cfg.max_steps)
         self.opt_state = self.optimizer.init(self.splats)
+        if self.mesh is not None:
+            self.opt_state = self._shard_gauss(self.opt_state)
 
         # identity-vector segmentation head (fork extension,
         # reference simple_trainer.py:439-452)
@@ -211,6 +253,8 @@ class Runner:
             self.strategy_state = self.strategy.initialize_state(
                 self.splats, scene_scale=self.scene_scale
             )
+        if self.mesh is not None:
+            self.strategy_state = self._shard_gauss(self.strategy_state)
 
         self._train_step = jax.jit(
             self._train_step_impl, donate_argnums=(0, 1),
@@ -237,6 +281,26 @@ class Runner:
             )
             self.viewer.start()
             print(f"live viewer at http://localhost:{cfg.viewer_port}")
+
+    # ------------------------------------------------------------------
+    def _shard_gauss(self, tree):
+        """Lay a pytree out over the mesh: arrays with a per-gaussian
+        leading dim (== capacity) shard on the "gauss" axis, everything
+        else (step counters, non-row state) replicates."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(self.mesh, P("gauss"))
+        repl = NamedSharding(self.mesh, P())
+
+        def put(x):
+            if not isinstance(x, (jnp.ndarray, np.ndarray)):
+                return x
+            x = jnp.asarray(x)
+            if x.ndim >= 1 and x.shape[0] == self.capacity:
+                return jax.device_put(x, shard)
+            return jax.device_put(x, repl)
+
+        return jax.tree.map(put, tree)
 
     # ------------------------------------------------------------------
     def _init_splats(self, key) -> G.SplatParams:
@@ -352,6 +416,33 @@ class Runner:
             # downstream); drop them here
             means2d_offset = None
             means2d_abs_tap = None
+        if (
+            self.mesh is not None
+            and viewmats.ndim == 3
+            and viewmats.shape[0] % self.mesh.shape["gauss"] == 0
+        ):
+            # multi-device train-batch render: one shard_map doing
+            # gather-cameras → project local shard → all_to_all →
+            # rasterize local cameras (Config.sharded)
+            from tdgs.parallel import rasterization_sharded
+
+            assert means2d_abs_tap is None, "sharded: absgrad tap unsupported"
+            return rasterization_sharded(
+                means, quats, scales, opacities, colors, viewmats, Ks,
+                width, height, self.mesh,
+                sh_degree=sh_deg,
+                near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                rasterize_mode=(
+                    "antialiased" if cfg.antialiased else "classic"
+                ),
+                rasterizer=rasterizer,
+                tile_capacity=cfg.tile_capacity,
+                isect_capacity=cfg.isect_capacity,
+                max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                backgrounds=backgrounds,
+                render_mode=render_mode,
+                means2d_offset=means2d_offset,
+            )
         return rasterization(
             means, quats, scales, opacities, colors, viewmats, Ks,
             width, height,
@@ -1094,6 +1185,11 @@ class Runner:
         self.opt_state = pad_rows(self.opt_state, old, new_cap)
         self.strategy_state = pad_rows(self.strategy_state, old, new_cap)
         self.capacity = new_cap
+        if self.mesh is not None:
+            # re-lay the doubled buffers out over the gauss axis
+            self.splats = self._shard_gauss(self.splats)
+            self.opt_state = self._shard_gauss(self.opt_state)
+            self.strategy_state = self._shard_gauss(self.strategy_state)
         return True
 
     def load_checkpoint(self, path: str) -> int:
@@ -1105,6 +1201,10 @@ class Runner:
         self.capacity = self.splats["means"].shape[0]
         self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
         self.strategy_state.update(state["strategy_state"])
+        if self.mesh is not None:
+            self.splats = self._shard_gauss(self.splats)
+            self.opt_state = self._shard_gauss(self.opt_state)
+            self.strategy_state = self._shard_gauss(self.strategy_state)
         if "segmentation_head" in state:
             self.seg_head = jax.tree.map(jnp.asarray, state["segmentation_head"])
         return state["step"]

@@ -1,0 +1,111 @@
+"""Multi-device gaussian-sharded training through the Runner.
+
+The reference's flagship distributed mode trains with gaussians sharded
+per rank and the projection→all_to_all→rasterize exchange inside
+rasterization (gsplat/rendering.py:360-611, examples/simple_trainer.py
+rank-strided init :298-301). Here Config.sharded=True lays the splat
+pytree over a 1-D "gauss" mesh and the train step renders through
+tdgs.parallel.rasterization_sharded on the virtual 8-device CPU mesh.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tdgs.strategy import DefaultStrategy, MCMCStrategy
+from tdgs.training.config import Config
+from tdgs.training.trainer import Runner
+from tdgs.utils.test_data import make_colmap_test_scene
+
+
+@pytest.fixture(scope="module")
+def scene_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sharded_scene")
+    make_colmap_test_scene(str(root), n_images=16)
+    return str(root)
+
+
+def _base_cfg(scene_dir, tmp_path, **kw):
+    kw.setdefault("strategy", MCMCStrategy(cap_max=256,
+                                           refine_start_iter=1000))
+    kw.setdefault("max_steps", 8)
+    kw.setdefault("sharded", True)
+    return Config(
+        data_dir=scene_dir,
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=16,
+        batch_size=8,
+        rasterizer="jax",
+        **kw,
+    )
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+def test_sharded_training_runs_and_shards_state(scene_dir, tmp_path):
+    cfg = _base_cfg(scene_dir, tmp_path)
+    runner = Runner(cfg)
+
+    # splats + optimizer moments live sharded over the gauss axis
+    assert len(runner.splats["means"].sharding.device_set) == \
+        jax.device_count()
+    moments = jax.tree.leaves(runner.opt_state)
+    assert any(
+        getattr(m, "ndim", 0) >= 1 and m.shape[0] == cfg.capacity
+        and len(m.sharding.device_set) == jax.device_count()
+        for m in moments
+    )
+
+    out = runner.train()
+    losses = [h["loss"] for h in out["history"]]
+    assert np.isfinite(losses).all(), losses
+    # parameters stayed sharded through the donated-step updates
+    assert len(runner.splats["means"].sharding.device_set) == \
+        jax.device_count()
+
+    # eval falls back to the replicated single-program path (C=1)
+    stats = runner.eval(cfg.max_steps)
+    assert np.isfinite(stats["psnr"]), stats
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+def test_sharded_default_strategy_gets_screen_grads(scene_dir, tmp_path):
+    """DefaultStrategy under sharding: the means2d tap gradient flows back
+    through the all_to_all and feeds grad2d accumulation + a refine pass."""
+    # refine once at step 4 (exercises sharded grow/prune scatters), then
+    # steps 5-8 re-accumulate — the final state must hold fresh signal
+    # (the refine pass itself zeroes the accumulators)
+    cfg = _base_cfg(
+        scene_dir, tmp_path,
+        strategy=DefaultStrategy(
+            refine_start_iter=2, refine_every=4, refine_stop_iter=5,
+            reset_every=10_000,
+        ),
+    )
+    runner = Runner(cfg)
+    runner.train()
+    state = runner.strategy_state
+    grad2d = np.asarray(state["grad2d"])
+    count = np.asarray(state["count"])
+    assert (count > 0).any(), "no gaussian ever counted as visible"
+    assert np.isfinite(grad2d).all()
+    assert (grad2d > 0).any(), "screen-grad tap delivered no signal"
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+def test_sharded_matches_unsharded_first_step(scene_dir, tmp_path):
+    """One train step sharded vs unsharded from identical init: same loss
+    to float tolerance (the exchange is a pure re-layout of the math)."""
+    cfg_s = _base_cfg(scene_dir, tmp_path / "s", max_steps=1, tb_every=1)
+    cfg_u = _base_cfg(scene_dir, tmp_path / "u", max_steps=1, tb_every=1,
+                      sharded=False)
+    loss_s = Runner(cfg_s).train()["history"][-1]["loss"]
+    loss_u = Runner(cfg_u).train()["history"][-1]["loss"]
+    assert abs(loss_s - loss_u) < 2e-4, (loss_s, loss_u)
