@@ -1,18 +1,16 @@
 #!/usr/bin/env bash
-# Basic 3DGS benchmark (reference examples/benchmarks/basic.sh conventions:
-# MipNeRF-360 scenes at data_factor 2 indoor / 4 outdoor, 30k steps, eval at
-# 7k/30k). When data/360_v2 is absent (no egress in this image) it falls
-# back to procedural scenes; override via env:
-#   SCENE_DIR=data/360_v2 SCENE_LIST="garden bicycle" MAX_STEPS=30000 ./basic.sh
+# 3DGUT benchmark (reference examples/benchmarks/3dgut/mcmc.sh: mcmc with
+# --with_ut --with_eval3d — UT projection for distorted cameras + the
+# world-space eval3d rasterizer). Falls back to procedural scenes without
+# data/360_v2; override via env like the other scripts.
 set -e
-cd "$(dirname "$0")/../.."
+cd "$(dirname "$0")/../../.."
 
 SCENE_DIR="${SCENE_DIR:-data/360_v2}"
-RESULT_DIR="${RESULT_DIR:-results/benchmark_2dgs}"
+RESULT_DIR="${RESULT_DIR:-results/benchmark_mcmc_3dgut}"
 MAX_STEPS="${MAX_STEPS:-30000}"
-PRESET="${PRESET:-default}"
-EXTRA_ARGS="${EXTRA_ARGS:---model-type 2dgs }"
-ACCEPT="${ACCEPT:-psnr>=20}"
+EXTRA_ARGS="${EXTRA_ARGS:-}"
+ACCEPT="${ACCEPT:-psnr>=19}"
 
 if [ -d "$SCENE_DIR" ]; then
     SCENE_LIST="${SCENE_LIST:-garden bicycle stump bonsai counter kitchen room}"
@@ -37,11 +35,12 @@ for SCENE in $SCENE_LIST; do
         *) DATA_FACTOR="" ;;
     esac
     echo "Running $SCENE"
-    python examples/simple_trainer.py "$PRESET" $DATA_FACTOR \
+    python examples/simple_trainer.py mcmc $DATA_FACTOR \
         --data-dir "$SCENE_DIR/$SCENE" \
         --result-dir "$RESULT_DIR/$SCENE" \
         --max-steps "$MAX_STEPS" \
         --eval-steps "$MAX_STEPS" --save-steps "$MAX_STEPS" \
+        --with-ut --with-eval3d \
         $EXTRA_ARGS
 done
 

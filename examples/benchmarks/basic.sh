@@ -23,7 +23,7 @@ else
     MAX_STEPS="${MAX_STEPS_PROC:-400}"
     i=0
     for SCENE in $SCENE_LIST; do
-        [ -d "$SCENE_DIR/$SCENE" ] || \
+        [ -f "$SCENE_DIR/$SCENE/sparse/0/cameras.bin" ] || \
             python examples/benchmarks/make_scene.py --out "$SCENE_DIR/$SCENE" --seed $i
         i=$((i+1))
     done

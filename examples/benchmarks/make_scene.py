@@ -12,6 +12,10 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "..", ".."))
 
+from tdgs.utils.platform import apply_platform_env
+
+apply_platform_env()  # honor JAX_PLATFORM_NAME even if the plugin ignores it
+
 
 def main():
     ap = argparse.ArgumentParser()
