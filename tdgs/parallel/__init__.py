@@ -9,12 +9,14 @@ from tdgs.parallel.mesh import make_mesh
 from tdgs.parallel.sharded_render import (
     rasterization_2dgs_sharded,
     rasterization_eval3d_sharded,
+    rasterization_replicated,
     rasterization_sharded,
 )
 
 __all__ = [
     "make_mesh",
     "rasterization_2dgs_sharded",
+    "rasterization_replicated",
     "rasterization_eval3d_sharded",
     "rasterization_sharded",
 ]

@@ -341,3 +341,35 @@ def test_sharded_eval3d_matches_single_device():
         x = np.asarray(x)
         assert np.isfinite(x).all(), name
         assert np.abs(x).max() > 0, name
+
+
+def test_replicated_render_matches_single_device():
+    """Frame-parallel mode: gaussians replicated, cameras sharded — must
+    reproduce the single-device rasterization exactly (same code path per
+    device, zero collectives)."""
+    from tdgs.parallel import rasterization_replicated
+
+    rng = np.random.default_rng(62)
+    means, quats, scales, opac, sh, viewmats, Ks = make_scene(rng)
+    width, height = 64, 48
+    mesh = make_mesh()
+
+    img_p, alp_p, meta_p = rasterization_replicated(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmats),
+        jnp.asarray(Ks), width, height, mesh, sh_degree=1,
+        tile_capacity=128, render_mode="RGB+ED",
+    )
+    img_r, alp_r, _ = rasterization(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmats),
+        jnp.asarray(Ks), width, height, sh_degree=1,
+        tile_capacity=128, render_mode="RGB+ED",
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_p), np.asarray(img_r), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(alp_p), np.asarray(alp_r), rtol=1e-4, atol=1e-4
+    )
+    assert meta_p["n_dropped"].shape == (jax.device_count(),)
