@@ -74,8 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
-def main():
-    ap = build_parser()
+def main(parser=None):
+    ap = parser if parser is not None else build_parser()
     args = ap.parse_args()
 
     if args.preset == "mcmc":

@@ -153,6 +153,22 @@ def load_ply(path: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def load_ply_milo(path: str) -> Dict[str, np.ndarray]:
+    """Name-parity variant of :func:`load_ply` (reference
+    gsplat/utils.py:load_ply_milo:349): identical parse except the
+    f_rest_* columns are interpreted channel-interleaved
+    (``reshape(N, K-1, 3)`` directly) instead of the Inria
+    coefficient-major layout. Use for PLYs written by exporters that
+    store shN row-major per coefficient."""
+    out = load_ply(path)
+    shN = out["shN"]
+    n, km1, _ = shN.shape
+    if km1:
+        flat = shN.transpose(0, 2, 1).reshape(n, -1)  # original column order
+        out["shN"] = flat.reshape(n, km1, 3)
+    return out
+
+
 def save_splat(
     path: str,
     means: np.ndarray,

@@ -123,3 +123,40 @@ def test_ply_compressed_drops_transparent(tmp_path):
     save_ply_compressed(path, **s)
     out = load_ply_compressed(path)
     assert out["means"].shape[0] == 25
+
+
+def test_load_ply_milo_channel_interleaved(tmp_path):
+    """load_ply_milo (reference gsplat/utils.py:349) reads the f_rest
+    block channel-interleaved: flat column j maps to (coeff j//3, ch j%3)
+    instead of the Inria coefficient-major layout."""
+    import numpy as np
+
+    from tdgs.utils.ply import load_ply, load_ply_milo, save_ply
+
+    n, km1 = 5, 3
+    rng = np.random.default_rng(11)
+    splats = {
+        "means": rng.normal(size=(n, 3)).astype(np.float32),
+        "scales": rng.normal(size=(n, 3)).astype(np.float32),
+        "quats": rng.normal(size=(n, 4)).astype(np.float32),
+        "opacities": rng.normal(size=(n,)).astype(np.float32),
+        "sh0": rng.normal(size=(n, 1, 3)).astype(np.float32),
+        "shN": rng.normal(size=(n, km1, 3)).astype(np.float32),
+    }
+    path = str(tmp_path / "s.ply")
+    save_ply(path, splats["means"], splats["scales"], splats["quats"],
+             splats["opacities"], splats["sh0"], splats["shN"])
+
+    std = load_ply(path)["shN"]           # [n, km1, 3] coefficient-major
+    milo = load_ply_milo(path)["shN"]     # channel-interleaved reread
+    assert milo.shape == (n, km1, 3)
+    # the two interpretations are permutations of the same flat block
+    np.testing.assert_allclose(
+        np.sort(std.reshape(n, -1), axis=1),
+        np.sort(milo.reshape(n, -1), axis=1),
+        rtol=1e-6,
+    )
+    # explicit index map: milo[:, j//3, j%3] == flat column j
+    flat = std.transpose(0, 2, 1).reshape(n, -1)
+    for j in range(3 * km1):
+        np.testing.assert_allclose(milo[:, j // 3, j % 3], flat[:, j])
