@@ -133,6 +133,11 @@ class Config:
     visible_adam: bool = True
     # save eval renders next to the stats JSONs (reference tb_save_image)
     tb_save_image: bool = False
+    # checkpoint container: "pickle" (single host file, the pipeline
+    # tools read it) or "orbax" (async multi-host-safe TPU idiom; saves
+    # sharded arrays without a host gather, restores into ckpt_{step}/
+    # directories)
+    ckpt_format: str = "pickle"
     # multi-device gaussian-sharded training (the reference's distributed
     # mode, gsplat/rendering.py:360-611 + distributed.py, re-done as one
     # shard_map over a 1-D device mesh — tdgs/parallel/sharded_render.py).

@@ -1089,7 +1089,31 @@ class Runner:
     def save_checkpoint(self, step: int):
         """Full-state checkpoint: splats + optimizer + strategy counters.
         (Improves on the reference, whose --ckpt resume is eval-only —
-        SURVEY.md §5 checkpoint/resume.)"""
+        SURVEY.md §5 checkpoint/resume.) Config.ckpt_format selects the
+        container: pickle (one host file) or orbax (async, multi-host
+        safe, saves sharded arrays shard-by-shard without a host gather)."""
+        if self.cfg.ckpt_format == "orbax":
+            import shutil
+
+            import orbax.checkpoint as ocp
+
+            state = {
+                "step": step,
+                "splats": self.splats,
+                "opt_state": self.opt_state,
+                "strategy_state": dict(self.strategy_state),
+            }
+            if self.seg_head is not None:
+                state["segmentation_head"] = self.seg_head
+            path = os.path.abspath(
+                os.path.join(self.ckpt_dir, f"ckpt_{step}")
+            )
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            ck = ocp.StandardCheckpointer()
+            ck.save(path, state)
+            ck.wait_until_finished()
+            return
         import pickle
 
         state = {
@@ -1193,10 +1217,19 @@ class Runner:
         return True
 
     def load_checkpoint(self, path: str) -> int:
-        import pickle
+        """Resume from either container: a .pkl file or an orbax
+        checkpoint directory (auto-detected)."""
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
 
-        with open(path, "rb") as f:
-            state = pickle.load(f)
+            state = ocp.StandardCheckpointer().restore(
+                os.path.abspath(path)
+            )
+        else:
+            import pickle
+
+            with open(path, "rb") as f:
+                state = pickle.load(f)
         self.splats = jax.tree.map(jnp.asarray, state["splats"])
         self.capacity = self.splats["means"].shape[0]
         self.opt_state = jax.tree.map(jnp.asarray, state["opt_state"])
@@ -1207,7 +1240,7 @@ class Runner:
             self.strategy_state = self._shard_gauss(self.strategy_state)
         if "segmentation_head" in state:
             self.seg_head = jax.tree.map(jnp.asarray, state["segmentation_head"])
-        return state["step"]
+        return int(state["step"])
 
     # ------------------------------------------------------------------
     def render_identity_map(self, view_index: int = 0) -> np.ndarray:

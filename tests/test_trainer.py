@@ -379,3 +379,42 @@ def test_trainer_capacity_growth(tmp_path):
     # dead padding renders nothing: alive count stays below capacity
     op = np.asarray(jax.nn.sigmoid(runner.splats["opacities"]))
     assert (op > 1.0 / 255.0).sum() < cap
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """ckpt_format="orbax": save_checkpoint writes a ckpt_{step}/ directory
+    (async multi-host TPU idiom) and load_checkpoint auto-detects it,
+    restoring splats + optimizer + strategy counters exactly."""
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=10,
+        eval_steps=[],
+        save_steps=[10],
+        sh_degree=1,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        rasterizer="jax",
+        ckpt_format="orbax",
+    )
+    runner = Runner(cfg)
+    runner.train()
+    ckpt_dir = str(tmp_path / "results" / "ckpts" / "ckpt_10")
+    assert os.path.isdir(ckpt_dir), ckpt_dir
+
+    runner2 = Runner(cfg)
+    step = runner2.load_checkpoint(ckpt_dir)
+    assert step == 10
+    np.testing.assert_allclose(
+        np.asarray(runner2.splats["means"]),
+        np.asarray(runner.splats["means"]),
+    )
+    np.testing.assert_allclose(
+        np.asarray(runner2.opt_state["mu"]["means"]),
+        np.asarray(runner.opt_state["mu"]["means"]),
+    )
