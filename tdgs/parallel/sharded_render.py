@@ -39,6 +39,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from tdgs.parallel import comm
 from tdgs.ops.projection import fully_fused_projection
 from tdgs.ops.rasterize_jax import rasterize_to_pixels_jax
 from tdgs.ops.sh import spherical_harmonics
@@ -113,8 +114,8 @@ def rasterization_sharded(
         offset_in = extras.pop(0) if has_offset else None  # [C, n, 2]
         n = means.shape[0]
         # (1) gather all cameras (reference rendering.py:366-381)
-        viewmats_all = jax.lax.all_gather(viewmats, axis_name, tiled=True)
-        Ks_all = jax.lax.all_gather(Ks, axis_name, tiled=True)
+        viewmats_all = comm.all_gather(viewmats, axis_name)
+        Ks_all = comm.all_gather(Ks, axis_name)
 
         # (2) project local gaussians against ALL cameras
         radii, means2d, depths, conics, compensations = fully_fused_projection(
@@ -147,9 +148,7 @@ def rasterization_sharded(
         #     [C, n, ...] -> [C/D, N, ...]: each device keeps its own cameras
         #     but receives every device's gaussians for them.
         def a2a(x):
-            return jax.lax.all_to_all(
-                x, axis_name, split_axis=0, concat_axis=1, tiled=True
-            )
+            return comm.all_to_all(x, axis_name, split_axis=0, concat_axis=1)
 
         radii_l = a2a(radii)
         means2d_l = a2a(means2d)
@@ -305,8 +304,8 @@ def rasterization_2dgs_sharded(
     def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
                  *maybe_bkgd):
         n = means.shape[0]
-        viewmats_all = jax.lax.all_gather(viewmats, axis_name, tiled=True)
-        Ks_all = jax.lax.all_gather(Ks, axis_name, tiled=True)
+        viewmats_all = comm.all_gather(viewmats, axis_name)
+        Ks_all = comm.all_gather(Ks, axis_name)
 
         radii, means2d, depths, M, normals = fully_fused_projection_2dgs(
             means, quats, scales, viewmats_all, Ks_all, width, height,
@@ -326,9 +325,7 @@ def rasterization_2dgs_sharded(
         opac = jnp.broadcast_to(opacities[None], (C, n))
 
         def a2a(x):
-            return jax.lax.all_to_all(
-                x, axis_name, split_axis=0, concat_axis=1, tiled=True
-            )
+            return comm.all_to_all(x, axis_name, split_axis=0, concat_axis=1)
 
         radii_l = a2a(radii)
         means2d_l = a2a(means2d)
@@ -481,8 +478,8 @@ def rasterization_eval3d_sharded(
     def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
                  *maybe_bkgd):
         n = means.shape[0]
-        viewmats_all = jax.lax.all_gather(viewmats, axis_name, tiled=True)
-        Ks_all = jax.lax.all_gather(Ks, axis_name, tiled=True)
+        viewmats_all = comm.all_gather(viewmats, axis_name)
+        Ks_all = comm.all_gather(Ks, axis_name)
 
         # screen-space projection of the local shard for tiling only
         radii, means2d, depths, _conics, _ = fully_fused_projection(
@@ -533,9 +530,7 @@ def rasterization_eval3d_sharded(
         )  # [C, n, F_pad]
 
         def a2a(x):
-            return jax.lax.all_to_all(
-                x, axis_name, split_axis=0, concat_axis=1, tiled=True
-            )
+            return comm.all_to_all(x, axis_name, split_axis=0, concat_axis=1)
 
         radii_l = a2a(radii)
         means2d_l = a2a(means2d)
