@@ -150,3 +150,139 @@ def normal_consistency_loss(
         w = jax.lax.stop_gradient(alpha[..., 0])
         return jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)
     return err.mean()
+
+
+def render_normals_simple(
+    normals: jnp.ndarray,  # [N, 3]
+    means2d: jnp.ndarray,  # [N, 2]
+    image_height: int,
+    image_width: int,
+) -> jnp.ndarray:
+    """Point-splat normal visualization: place (n+1)/2 RGB at each
+    gaussian's rounded center pixel (reference utils.py:1372-1402;
+    returns [H, W, 3] instead of the torch [1, 3, H, W] layout)."""
+    colors = (normals + 1.0) / 2.0
+    px = jnp.round(means2d).astype(jnp.int32)
+    valid = (
+        (px[:, 0] >= 0) & (px[:, 0] < image_width)
+        & (px[:, 1] >= 0) & (px[:, 1] < image_height)
+    )
+    # invalid rows scatter to a dead row (clipped coords, zero color)
+    x = jnp.clip(px[:, 0], 0, image_width - 1)
+    y = jnp.clip(px[:, 1], 0, image_height - 1)
+    colors = jnp.where(valid[:, None], colors, 0.0)
+    img = jnp.zeros((image_height, image_width, 3), colors.dtype)
+    return img.at[y, x].set(colors)
+
+
+def render_normals_with_interpolation(
+    normals: jnp.ndarray,  # [N, 3]
+    means2d: jnp.ndarray,  # [N, 2]
+    image_height: int,
+    image_width: int,
+    kernel_size: int = 5,
+) -> jnp.ndarray:
+    """Normal visualization with hole-filling: box-blur the point splats,
+    renormalized by the blurred coverage mask so sparse regions don't
+    darken, then masked to the dilated footprint (reference
+    utils.py:1403-1461). Returns [H, W, 3]."""
+    img = render_normals_simple(normals, means2d, image_height, image_width)
+    px = jnp.round(means2d).astype(jnp.int32)
+    valid = (
+        (px[:, 0] >= 0) & (px[:, 0] < image_width)
+        & (px[:, 1] >= 0) & (px[:, 1] < image_height)
+    )
+    x = jnp.clip(px[:, 0], 0, image_width - 1)
+    y = jnp.clip(px[:, 1], 0, image_height - 1)
+    mask = jnp.zeros((image_height, image_width), img.dtype)
+    mask = mask.at[y, x].set(jnp.where(valid, 1.0, 0.0))
+
+    k = kernel_size
+    kernel = jnp.ones((1, 1, k, k), img.dtype) / (k * k)
+
+    def blur(ch):  # [H, W] -> [H, W]
+        return jax.lax.conv_general_dilated(
+            ch[None, None], kernel, (1, 1), "SAME",
+            precision=jax.lax.Precision.HIGHEST,
+        )[0, 0]
+
+    mask_sum = blur(mask)
+    dilated = (mask_sum > 0).astype(img.dtype)
+    out = []
+    for c in range(3):
+        sm = blur(img[..., c])
+        out.append(jnp.where(mask_sum > 0, sm / jnp.maximum(mask_sum, 1e-12),
+                             sm))
+    return jnp.stack(out, -1) * dilated[..., None]
+
+
+def cluster_gaussians_by_surface(
+    means3d: jnp.ndarray,  # [N, 3]
+    normals: jnp.ndarray,  # [N, 3]
+    cluster_threshold: float = 0.1,
+) -> jnp.ndarray:
+    """Group gaussians that plausibly lie on the same surface patch.
+
+    The reference runs cuML DBSCAN on the concatenated [means, normals]
+    features (utils.py:592-608) — data-dependent cluster count, GPU-only.
+    The TPU-native replacement is a 6-D voxel hash at the same eps scale:
+    quantize [means3d, normals] / threshold and give every occupied cell
+    one label. Static shapes, jit-friendly, deterministic; patch granularity
+    matches DBSCAN's eps neighborhoods (cells within one eps merge in the
+    consistency loss through their shared mean direction). Returns int32
+    labels [N] (no noise label — every gaussian belongs to its cell)."""
+    feats = jnp.concatenate([means3d, normals], axis=-1) / cluster_threshold
+    cells = jnp.floor(feats).astype(jnp.int32)
+    # hash 6-D cell coords to a label via sort-unique
+    key = cells.astype(jnp.int64)
+    mix = jnp.zeros(means3d.shape[0], jnp.int64)
+    for i in range(6):
+        mix = mix * jnp.int64(1_000_003) + (key[:, i] + jnp.int64(1 << 20))
+    _, labels = jnp.unique(mix, return_inverse=True,
+                           size=means3d.shape[0], fill_value=-1)
+    return labels.astype(jnp.int32)
+
+
+def apply_surface_consistency_loss(
+    gaussian_normals: jnp.ndarray,  # [N, 3]
+    means3d: jnp.ndarray,  # [N, 3]
+    weight: float = 0.5,
+    cluster_threshold: float = 0.1,
+) -> jnp.ndarray:
+    """Pull each gaussian's normal toward its surface patch's mean
+    direction: mean cosine distance to the per-cluster mean normal
+    (reference utils.py:609-657, vectorized segment form)."""
+    labels = cluster_gaussians_by_surface(
+        means3d, gaussian_normals, cluster_threshold
+    )
+    n_seg = gaussian_normals.shape[0]
+    sums = jax.ops.segment_sum(gaussian_normals, labels, num_segments=n_seg)
+    mean_n = _safe_normalize(sums)[labels]  # [N, 3]
+    cos = jnp.sum(
+        _safe_normalize(gaussian_normals) * mean_n, axis=-1
+    )
+    return weight * jnp.mean(1.0 - cos)
+
+
+def add_spatial_smoothness_loss(
+    gaussian_normals: jnp.ndarray,  # [N, 3]
+    means2d: jnp.ndarray,  # [N, 2]
+    means3d: jnp.ndarray,  # [N, 3]
+    k_neighbors: int = 8,
+) -> jnp.ndarray:
+    """Screen-space kNN normal smoothness, softmax-weighted by inverse 3D
+    distance (reference utils.py:1462-1483). O(N^2) cdist like the
+    reference — use on sampled subsets at scale."""
+    d2 = jnp.sum(
+        (means2d[:, None, :] - means2d[None, :, :]) ** 2, axis=-1
+    )
+    # k+1 smallest, drop self (distance 0)
+    _, idx = jax.lax.top_k(-d2, k_neighbors + 1)
+    idx = idx[:, 1:]
+    d3 = jnp.linalg.norm(
+        means3d[:, None, :] - means3d[idx], axis=-1
+    )  # [N, k]
+    w = jax.nn.softmax(1.0 / (d3 + 1e-6), axis=1)
+    nn = _safe_normalize(gaussian_normals)
+    cos = jnp.sum(nn[:, None, :] * nn[idx], axis=-1)
+    return jnp.mean((1.0 - cos) * w)  # plain mean over [N, k], like the ref

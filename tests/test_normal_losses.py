@@ -84,3 +84,67 @@ def test_depth_smoothness_and_consistency():
     n = jnp.asarray(rng.normal(size=(16, 16, 3)).astype(np.float32))
     assert float(NL.normal_consistency_loss(n, n)) < 1e-5
     assert float(NL.normal_consistency_loss(n, -n)) > 1.9
+
+
+def test_render_normals_simple_places_colors():
+    from tdgs.training.normal_losses import render_normals_simple
+
+    normals = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0],
+                           [0.0, 1.0, 0.0]])
+    means2d = jnp.asarray([[2.0, 3.0], [5.0, 1.0], [-4.0, 2.0]])  # last OOB
+    img = np.asarray(render_normals_simple(normals, means2d, 6, 8))
+    assert img.shape == (6, 8, 3)
+    np.testing.assert_allclose(img[3, 2], [0.5, 0.5, 1.0])
+    np.testing.assert_allclose(img[1, 5], [1.0, 0.5, 0.5])
+    np.testing.assert_allclose(img.sum(), 4.0, rtol=1e-6)  # OOB point contributed 0
+
+
+def test_render_normals_with_interpolation_fills_holes():
+    from tdgs.training.normal_losses import (
+        render_normals_simple,
+        render_normals_with_interpolation,
+    )
+
+    rng = np.random.default_rng(5)
+    normals = jnp.asarray(
+        rng.normal(size=(10, 3)).astype(np.float32)
+    )
+    means2d = jnp.asarray(
+        rng.uniform(2, 14, size=(10, 2)).astype(np.float32)
+    )
+    simple = np.asarray(render_normals_simple(normals, means2d, 16, 16))
+    smooth = np.asarray(
+        render_normals_with_interpolation(normals, means2d, 16, 16)
+    )
+    assert smooth.shape == (16, 16, 3)
+    # blur spreads coverage: more nonzero pixels than the point splat
+    assert (smooth.sum(-1) > 0).sum() > (simple.sum(-1) > 0).sum()
+    assert np.isfinite(smooth).all()
+
+
+def test_surface_consistency_loss_prefers_coherent_normals():
+    from tdgs.training.normal_losses import apply_surface_consistency_loss
+
+    rng = np.random.default_rng(6)
+    means = jnp.asarray(rng.uniform(0, 0.05, size=(32, 3)).astype(np.float32))
+    coherent = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (32, 1))
+    incoherent = jnp.asarray(
+        rng.normal(size=(32, 3)).astype(np.float32)
+    )
+    lo = float(apply_surface_consistency_loss(coherent, means))
+    hi = float(apply_surface_consistency_loss(incoherent, means))
+    assert lo < 1e-5
+    assert hi > lo
+
+
+def test_spatial_smoothness_loss_zero_for_constant_normals():
+    from tdgs.training.normal_losses import add_spatial_smoothness_loss
+
+    rng = np.random.default_rng(7)
+    n = 24
+    m2 = jnp.asarray(rng.uniform(0, 32, size=(n, 2)).astype(np.float32))
+    m3 = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    const = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (n, 1))
+    mixed = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    assert float(add_spatial_smoothness_loss(const, m2, m3)) < 1e-6
+    assert float(add_spatial_smoothness_loss(mixed, m2, m3)) > 1e-3
