@@ -285,18 +285,29 @@ class Dataset:
             data["points"] = uv[sel].astype(np.float32)
             data["depths"] = depths[sel].astype(np.float32)
 
-        if p.load_instance_masks:
+        if p.load_instance_masks or self.load_depths:
             stem = os.path.splitext(p.image_names[index])[0]
-            mpath = os.path.join(
-                p.data_dir, "masks", "instance_ids_npy", f"{stem}_instance_id.npy"
-            )
-            if os.path.exists(mpath):
-                data["instance_mask"] = np.load(mpath)
+            if p.load_instance_masks:
+                mpath = os.path.join(
+                    p.data_dir, "masks", "instance_ids_npy",
+                    f"{stem}_instance_id.npy"
+                )
+                if os.path.exists(mpath):
+                    data["instance_mask"] = np.load(mpath)
             dpath = os.path.join(
                 p.data_dir, "refined_depths", f"{stem}_refined_depth.npy"
             )
             if os.path.exists(dpath):
-                data["refined_depth"] = np.load(dpath)
+                dmap = np.load(dpath).astype(np.float32)
+                H, W = data["image"].shape[:2]
+                if dmap.shape != (H, W):
+                    # nearest resize to the (possibly downsampled) image —
+                    # reference interpolates depth_map to render scale
+                    # (simple_trainer.py:731-737)
+                    yi = (np.arange(H) * dmap.shape[0] / H).astype(np.int64)
+                    xi = (np.arange(W) * dmap.shape[1] / W).astype(np.int64)
+                    dmap = dmap[yi][:, xi]
+                data["refined_depth"] = dmap
 
         if self.patch_size is not None:
             H, W = data["image"].shape[:2]
@@ -310,5 +321,7 @@ class Dataset:
             data["K"] = K
             if "instance_mask" in data:
                 data["instance_mask"] = data["instance_mask"][y : y + ps, x : x + ps]
+            if "refined_depth" in data:
+                data["refined_depth"] = data["refined_depth"][y : y + ps, x : x + ps]
 
         return data

@@ -93,6 +93,12 @@ class Config:
     max_scale: Optional[float] = None
     depth_loss: bool = False
     depth_lambda: float = 1e-2
+    # dense precomputed depth maps (refined_depths/*_refined_depth.npy,
+    # e.g. PriorDepthAnything output) instead of sparse COLMAP points
+    # (reference Config.use_precomputed_depths :178 + dense disparity-L1
+    # branch simple_trainer.py:851-869). Falls back to sparse per image
+    # when no map exists.
+    use_precomputed_depths: bool = False
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
 

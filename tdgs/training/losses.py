@@ -127,3 +127,19 @@ def depth_loss_sparse(
     if valid is not None:
         return jnp.sum(err * valid) / jnp.maximum(jnp.sum(valid), 1.0)
     return err.mean()
+
+
+def depth_loss_dense(
+    render_depth: jnp.ndarray,  # [..., H, W, 1]
+    depth_map: jnp.ndarray,  # [..., H, W] ground-truth (0 = invalid)
+    scene_scale: float = 1.0,
+) -> jnp.ndarray:
+    """Dense precomputed-depth supervision: masked L1 in disparity space
+    against a refined depth map, scaled by the scene scale (reference
+    simple_trainer.py:851-869, the PriorDepthAnything branch)."""
+    rd = render_depth[..., 0]
+    valid = (depth_map > 0.0) & (rd > 0.0)
+    disp_r = jnp.where(valid, 1.0 / jnp.maximum(rd, 1e-8), 0.0)
+    disp_g = jnp.where(valid, 1.0 / jnp.maximum(depth_map, 1e-8), 0.0)
+    n = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(jnp.abs(disp_r - disp_g)) / n * scene_scale

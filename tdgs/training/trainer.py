@@ -648,10 +648,16 @@ class Runner:
                 )
                 loss = loss + terms["appreg"]
             if cfg.depth_loss:
-                terms["depthloss"] = cfg.depth_lambda * L.depth_loss_sparse(
-                    img[..., 3:], batch["points"], batch["depths"],
-                    valid=batch.get("points_valid"),
-                )
+                if "depth_map" in batch:
+                    # dense refined-depth branch (reference :851-869)
+                    terms["depthloss"] = cfg.depth_lambda * L.depth_loss_dense(
+                        img[..., 3:], batch["depth_map"], self.scene_scale,
+                    )
+                else:
+                    terms["depthloss"] = cfg.depth_lambda * L.depth_loss_sparse(
+                        img[..., 3:], batch["points"], batch["depths"],
+                        valid=batch.get("points_valid"),
+                    )
                 loss = loss + terms["depthloss"]
             if cfg.opacity_reg > 0:
                 terms["opacityreg"] = cfg.opacity_reg * jnp.mean(
@@ -831,7 +837,14 @@ class Runner:
                 ),
             }
             if cfg.depth_loss:
-                batch.update(self._depth_fields(items))
+                if cfg.use_precomputed_depths and all(
+                    "refined_depth" in it for it in items
+                ):
+                    batch["depth_map"] = jnp.asarray(
+                        np.stack([it["refined_depth"] for it in items])
+                    )
+                else:
+                    batch.update(self._depth_fields(items))
 
             # segmentation loss cadence (reference simple_trainer.py:945-975)
             use_seg = (

@@ -106,3 +106,21 @@ def test_ssim_flat_regions_stay_finite():
         0.0,
     )
     assert float(var.min()) >= 0.0
+
+
+def test_depth_loss_dense_masked_disparity():
+    """Dense refined-depth loss (reference simple_trainer.py:851-869):
+    masked L1 in disparity space; zero-depth pixels excluded."""
+    from tdgs.training.losses import depth_loss_dense
+
+    rd = jnp.full((1, 4, 4, 1), 2.0)
+    gt = jnp.full((1, 4, 4), 4.0)
+    # rendered disp 0.5, gt disp 0.25 → |diff| = 0.25 everywhere
+    out = float(depth_loss_dense(rd, gt, scene_scale=2.0))
+    np.testing.assert_allclose(out, 0.25 * 2.0, rtol=1e-6)
+    # invalidate half the gt: loss unchanged (mean over valid only)
+    gt_masked = gt.at[:, :2].set(0.0)
+    out2 = float(depth_loss_dense(rd, gt_masked, scene_scale=2.0))
+    np.testing.assert_allclose(out2, 0.25 * 2.0, rtol=1e-6)
+    # everything invalid → 0
+    assert float(depth_loss_dense(rd, jnp.zeros((1, 4, 4)))) == 0.0

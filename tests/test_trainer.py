@@ -418,3 +418,60 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
         np.asarray(runner2.opt_state["mu"]["means"]),
         np.asarray(runner.opt_state["mu"]["means"]),
     )
+
+
+def test_depth_loss_paths(tmp_path):
+    """Sparse COLMAP-point and dense refined-depth supervision both train
+    (reference depth_loss branches, simple_trainer.py:724-869)."""
+    import json
+
+    render_target_scene(str(tmp_path / "scene"))
+    # write dense refined depth maps at half resolution (exercises the
+    # nearest-resize in the Dataset)
+    import glob as _glob
+
+    img_names = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(str(tmp_path / "scene" / "images" / "*.png"))
+    )
+    ddir = tmp_path / "scene" / "refined_depths"
+    os.makedirs(ddir, exist_ok=True)
+    for name in img_names:
+        stem = os.path.splitext(name)[0]
+        np.save(str(ddir / f"{stem}_refined_depth.npy"),
+                np.full((24, 32), 6.0, np.float32))
+
+    def run(tag, **kw):
+        from tdgs.strategy import MCMCStrategy
+        from tdgs.training.config import Config
+        from tdgs.training.trainer import Runner
+
+        cfg = Config(
+            data_dir=str(tmp_path / "scene"),
+            result_dir=str(tmp_path / f"results_{tag}"),
+            data_factor=1,
+            max_steps=6,
+            eval_steps=[],
+            save_steps=[],
+            sh_degree=1,
+            strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+            capacity=256,
+            tile_capacity=256,
+            isect_capacity=1 << 14,
+            test_every=4,
+            tb_every=2,
+            rasterizer="jax",
+            depth_loss=True,
+            **kw,
+        )
+        Runner(cfg).train()
+        rows = [
+            json.loads(l)
+            for l in open(str(tmp_path / f"results_{tag}" / "metrics.jsonl"))
+        ]
+        vals = [r["train/depthloss"] for r in rows if "train/depthloss" in r]
+        assert vals and np.isfinite(vals).all(), rows
+        return vals
+
+    run("sparse")
+    run("dense", use_precomputed_depths=True)
