@@ -99,6 +99,14 @@ class Config:
     # branch simple_trainer.py:851-869). Falls back to sparse per image
     # when no map exists.
     use_precomputed_depths: bool = False
+    # self-supervised depth-normal regularizers for 3DGS (reference
+    # Config.depth_normal_loss :227 → add_simplified_depth_normal_loss,
+    # utils.py:1741-1808: edge-aware depth smoothness + TV of
+    # depth-derived normals, gated past a warmup step)
+    depth_normal_loss: bool = False
+    depth_normal_start_step: int = 1000
+    lambda_depth_smooth: float = 0.1
+    lambda_normal_consistency: float = 0.01
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
 

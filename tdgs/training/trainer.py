@@ -525,7 +525,9 @@ class Runner:
         cfg = self.cfg
         images = batch["image"]  # [B, H, W, 3]
         B, H, W = images.shape[:3]
-        render_mode = "RGB+ED" if cfg.depth_loss else "RGB"
+        render_mode = (
+            "RGB+ED" if (cfg.depth_loss or cfg.depth_normal_loss) else "RGB"
+        )
 
         k_bkgd, k_spatial, key = jax.random.split(key, 3)
         if cfg.random_bkgd:
@@ -659,6 +661,38 @@ class Runner:
                         valid=batch.get("points_valid"),
                     )
                 loss = loss + terms["depthloss"]
+            if cfg.depth_normal_loss:
+                # self-supervised depth regularizers (reference
+                # add_simplified_depth_normal_loss, utils.py:1741-1808):
+                # edge-aware smoothness + TV of depth-derived normals.
+                # lr_dict["dnl_gate"] carries the warmup gate as a dynamic
+                # scalar (no re-jit at the boundary).
+                from tdgs.training import normal_losses as NL
+                from tdgs.utils.depth import depth_to_normal
+
+                gate = lr_dict.get("dnl_gate", jnp.float32(1.0))
+                depth_hw = img[..., 3:]  # [B, H, W, 1]
+                c2w = jnp.linalg.inv(batch_adj["viewmat"])
+                sm = jnp.float32(0.0)
+                tv = jnp.float32(0.0)
+                for b in range(B):
+                    sm = sm + NL.depth_smoothness_loss(
+                        depth_hw[b], images[b]
+                    )
+                    dn = depth_to_normal(
+                        depth_hw[b], c2w[b], batch["K"][b]
+                    )  # [H, W, 3]
+                    tv = tv + (
+                        jnp.abs(dn[:, 1:] - dn[:, :-1]).mean()
+                        + jnp.abs(dn[1:, :] - dn[:-1, :]).mean()
+                    )
+                terms["depthsmooth"] = (
+                    gate * cfg.lambda_depth_smooth * sm / B
+                )
+                terms["normalconsist"] = (
+                    gate * cfg.lambda_normal_consistency * tv / B
+                )
+                loss = loss + terms["depthsmooth"] + terms["normalconsist"]
             if cfg.opacity_reg > 0:
                 terms["opacityreg"] = cfg.opacity_reg * jnp.mean(
                     jnp.abs(jax.nn.sigmoid(params["opacities"]))
@@ -886,6 +920,12 @@ class Runner:
                 )
                 lr_dict["dist_lambda"] = jnp.float32(
                     cfg.dist_lambda if step > cfg.dist_start_iter else 0.0
+                )
+            if cfg.depth_normal_loss:
+                # warmup gate as a dynamic scalar (reference
+                # depth_normal_start_step, utils.py:1773)
+                lr_dict["dnl_gate"] = jnp.float32(
+                    1.0 if step > cfg.depth_normal_start_step else 0.0
                 )
             self.key, k_step, k_strat = jax.random.split(self.key, 3)
 

@@ -475,3 +475,48 @@ def test_depth_loss_paths(tmp_path):
 
     run("sparse")
     run("dense", use_precomputed_depths=True)
+
+
+def test_depth_normal_loss_regularizers(tmp_path):
+    """depth_normal_loss: edge-aware depth smoothness + depth-normal TV
+    terms appear (gated past depth_normal_start_step) and stay finite
+    (reference add_simplified_depth_normal_loss)."""
+    import json
+
+    render_target_scene(str(tmp_path / "scene"))
+    from tdgs.strategy import MCMCStrategy
+    from tdgs.training.config import Config
+    from tdgs.training.trainer import Runner
+
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=6,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=2,
+        rasterizer="jax",
+        depth_normal_loss=True,
+        depth_normal_start_step=3,
+    )
+    Runner(cfg).train()
+    rows = [
+        json.loads(l)
+        for l in open(str(tmp_path / "results" / "metrics.jsonl"))
+    ]
+    sm = {r["step"]: r["train/depthsmooth"] for r in rows
+          if "train/depthsmooth" in r}
+    tv = {r["step"]: r["train/normalconsist"] for r in rows
+          if "train/normalconsist" in r}
+    assert sm and tv
+    assert np.isfinite(list(sm.values())).all()
+    # gate: zero before the warmup step, positive after
+    assert sm[2] == 0.0 and tv[2] == 0.0
+    assert sm[6] > 0.0 and tv[6] > 0.0
