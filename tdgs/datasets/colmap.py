@@ -195,6 +195,13 @@ class Parser:
             return image
         H, W = image.shape[:2]
         mx, my = build_undistort_map(self.Ks_dict[cam_id], dist, dist_type, W, H)
+        if self.mask_dict.get(cam_id) is None:
+            # valid-pixel ROI: output pixels whose source sample lies inside
+            # the original frame (reference colmap.py:364-385 builds the
+            # same mask from the fisheye remap and attaches it per item)
+            self.mask_dict[cam_id] = (
+                (mx >= 0) & (mx <= W - 1) & (my >= 0) & (my <= H - 1)
+            )
         return _bilinear_remap(image, mx, my)
 
 
@@ -266,6 +273,10 @@ class Dataset:
             "image_id": index,
             "image_name": p.image_names[index],
         }
+        if p.mask_dict.get(cam_id) is not None:
+            # undistortion ROI: rendered pixels outside it are zeroed in
+            # the loss (reference rasterize_splats:625-626)
+            data["mask"] = p.mask_dict[cam_id]
 
         if self.load_depths:
             # sparse COLMAP point depths (reference colmap.py:552-574)
@@ -323,5 +334,7 @@ class Dataset:
                 data["instance_mask"] = data["instance_mask"][y : y + ps, x : x + ps]
             if "refined_depth" in data:
                 data["refined_depth"] = data["refined_depth"][y : y + ps, x : x + ps]
+            if "mask" in data:
+                data["mask"] = data["mask"][y : y + ps, x : x + ps]
 
         return data

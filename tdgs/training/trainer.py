@@ -576,6 +576,8 @@ class Runner:
                         if jax.default_backend() == "tpu" else "jax"
                     ),
                 )
+                if "mask" in batch:
+                    img = img * batch["mask"][..., None]
                 colors = img[..., :3]
                 terms = {
                     "rgbloss": L.d_ssim_l1_loss(colors, images, cfg.ssim_lambda)
@@ -620,6 +622,10 @@ class Runner:
                 app_params=aux if cfg.app_opt else None,
                 image_ids=batch.get("image_id"),
             )
+            if "mask" in batch:
+                # zero render outside the undistortion ROI (reference
+                # rasterize_splats:625-626: render_colors[~masks] = 0)
+                img = img * batch["mask"][..., None]
             colors = img[..., :3]
             if "bilagrid" in aux:
                 from tdgs.training.bilateral_grid import (
@@ -870,6 +876,12 @@ class Runner:
                     np.arange(len(items)) * 0 + np.asarray(idx, np.int32)
                 ),
             }
+            if all("mask" in it for it in items):
+                # undistortion-ROI masks (reference data["mask"]):
+                # rendered pixels outside the valid region are zeroed
+                batch["mask"] = jnp.asarray(
+                    np.stack([it["mask"] for it in items])
+                )
             if cfg.depth_loss:
                 if cfg.use_precomputed_depths and all(
                     "refined_depth" in it for it in items
@@ -1057,6 +1069,8 @@ class Runner:
                 ),
             )
             pred = jnp.clip(img[0], 0.0, 1.0)
+            if "mask" in d:
+                pred = pred * jnp.asarray(d["mask"])[..., None]
             gt = jnp.asarray(d["image"])
             metrics["psnr"].append(float(L.psnr(pred, gt)))
             metrics["ssim"].append(float(L.ssim(pred[None], gt[None])))

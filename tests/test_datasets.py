@@ -171,3 +171,29 @@ def test_dataset_prefetch_matches_sync(tmp_path):
     # second epoch (slots were consumed and reset)
     ds_pre.prefetch([0, 1])
     np.testing.assert_array_equal(ds_pre[0]["image"], ds_sync[0]["image"])
+
+
+def test_undistortion_roi_mask(tmp_path):
+    """Distorted cameras produce a valid-pixel ROI mask attached as
+    data["mask"] (reference colmap.py:364-385 builds the same mask from
+    the remap; delta: we keep the full frame + mask instead of cropping
+    to the ROI bounding box)."""
+    write_synthetic_colmap(str(tmp_path))
+    from tdgs.datasets import Dataset, Parser
+
+    parser = Parser(str(tmp_path), factor=1, normalize=False, test_every=100)
+    # inject strong distortion (k1 > 0): the corner's source sample
+    # r*(1 + k1*r^2) lands outside the original frame -> invalid
+    parser.params_dict[1] = (
+        np.array([0.4, 0.0, 0.0, 0.0, 0.0, 0.0]), "perspective",
+    )
+    ds = Dataset(parser, "train")
+    item = ds[0]
+    assert "mask" in item
+    mask = item["mask"]
+    assert mask.shape == item["image"].shape[:2]
+    assert mask.dtype == np.bool_
+    H, W = mask.shape
+    assert mask[H // 2, W // 2]            # center valid
+    assert not mask[0, 0], "corner should fall outside the source frame"
+    assert mask.mean() > 0.5               # most of the frame survives
