@@ -100,12 +100,14 @@ class Parser:
         normalize: bool = True,
         test_every: int = 8,
         load_instance_masks: bool = False,
+        load_normals: bool = False,
     ):
         self.data_dir = data_dir
         self.factor = factor
         self.normalize = normalize
         self.test_every = test_every
         self.load_instance_masks = load_instance_masks
+        self.load_normals = load_normals
 
         sparse = os.path.join(data_dir, "sparse", "0")
         if not os.path.isdir(sparse):
@@ -277,6 +279,25 @@ class Dataset:
             # undistortion ROI: rendered pixels outside it are zeroed in
             # the loss (reference rasterize_splats:625-626)
             data["mask"] = p.mask_dict[cam_id]
+        if p.load_normals:
+            # monocular normal maps: normals/{stem}.npy ([-1,1] float
+            # [H,W,3]) or normals/{image name} as an RGB encoding
+            # (reference Parser load_normals, colmap.py:206-242)
+            stem = os.path.splitext(p.image_names[index])[0]
+            npy = os.path.join(p.data_dir, "normals", f"{stem}.npy")
+            png = os.path.join(p.data_dir, "normals", p.image_names[index])
+            nmap = None
+            if os.path.exists(npy):
+                nmap = np.load(npy).astype(np.float32)
+            elif os.path.exists(png):
+                nmap = _imread(png).astype(np.float32) / 255.0 * 2.0 - 1.0
+            if nmap is not None:
+                H, W = data["image"].shape[:2]
+                if nmap.shape[:2] != (H, W):
+                    yi = (np.arange(H) * nmap.shape[0] / H).astype(np.int64)
+                    xi = (np.arange(W) * nmap.shape[1] / W).astype(np.int64)
+                    nmap = nmap[yi][:, xi]
+                data["normal"] = nmap
 
         if self.load_depths:
             # sparse COLMAP point depths (reference colmap.py:552-574)

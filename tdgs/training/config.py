@@ -107,6 +107,12 @@ class Config:
     depth_normal_start_step: int = 1000
     lambda_depth_smooth: float = 0.1
     lambda_normal_consistency: float = 0.01
+    # monocular normal-map supervision (reference Config.load_normals :223,
+    # normals/ dir per image; progressive cosine loss on per-gaussian
+    # differentiable normals vs map samples, simple_trainer.py:792-848)
+    load_normals: bool = False
+    start_normal_loss_step: int = 5000
+    mono_normal_lambda: float = 0.1
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
 

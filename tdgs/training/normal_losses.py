@@ -286,3 +286,19 @@ def add_spatial_smoothness_loss(
     nn = _safe_normalize(gaussian_normals)
     cos = jnp.sum(nn[:, None, :] * nn[idx], axis=-1)
     return jnp.mean((1.0 - cos) * w)  # plain mean over [N, k], like the ref
+
+
+def masked_progressive_normal_loss(
+    gaussian_normals: jnp.ndarray,  # [N, 3]
+    sampled_normals: jnp.ndarray,  # [N, 3]
+    visible: jnp.ndarray,  # [N] bool
+) -> jnp.ndarray:
+    """The trainer's monocular-normal supervision term: the progressive
+    (2x cosine) loss restricted to gaussians visible in the current view —
+    the reference filters by in-viewport pixel coords before the loss
+    (simple_trainer.py:792-805, :846-848); radii>0 is the same set here."""
+    g = _safe_normalize(gaussian_normals)
+    s = _safe_normalize(sampled_normals)
+    err = 1.0 - jnp.sum(g * s, axis=-1)
+    w = visible.astype(err.dtype)
+    return 2.0 * jnp.sum(err * w) / jnp.maximum(jnp.sum(w), 1.0)

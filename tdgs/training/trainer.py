@@ -106,6 +106,9 @@ class Runner:
             )
         if cfg.with_eval3d:
             assert cfg.model_type == "3dgs", "eval3d is a 3DGS render path"
+            assert not cfg.load_normals, (
+                "load_normals needs meta['means2d'] (2D path only)"
+            )
         self.cfg = cfg
         os.makedirs(cfg.result_dir, exist_ok=True)
         self.stats_dir = os.path.join(cfg.result_dir, "stats")
@@ -124,6 +127,7 @@ class Runner:
             normalize=cfg.normalize_world_space,
             test_every=cfg.test_every,
             load_instance_masks=cfg.with_segmentation,
+            load_normals=cfg.load_normals,
         )
         self.trainset = Dataset(
             self.parser, "train", patch_size=cfg.patch_size,
@@ -173,6 +177,11 @@ class Runner:
                     "sharded + absgrad: the |grad| tap is single-device "
                     "only; densify on plain means2d grads"
                 )
+            assert not cfg.load_normals, (
+                "sharded + load_normals: the normal loss samples the map "
+                "at meta['means2d'], which the sharded render does not "
+                "return"
+            )
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key, seg_key = jax.random.split(key, 3)
@@ -667,6 +676,34 @@ class Runner:
                         valid=batch.get("points_valid"),
                     )
                 loss = loss + terms["depthloss"]
+            if cfg.load_normals and "normal" in batch:
+                # monocular normal-map supervision (reference
+                # simple_trainer.py:792-848): per-gaussian differentiable
+                # normals vs bilinear map samples at projected centers,
+                # restricted to visible gaussians, progressive (2x cosine)
+                from tdgs.training import normal_losses as NL
+
+                gate = lr_dict.get("nml_gate", jnp.float32(1.0))
+                g_norm, _conf = (
+                    NL.calculate_gaussian_splat_normal_differentiable(
+                        params["quats"], jnp.exp(params["scales"]),
+                        jax.nn.sigmoid(params["opacities"]),
+                    )
+                )
+                m2d = meta["means2d"].reshape(B, -1, 2)
+                rad = meta["radii"].reshape(B, -1, 2)
+                nl = jnp.float32(0.0)
+                for b in range(B):
+                    sampled = NL.sample_normals_from_map(
+                        batch["normal"][b], m2d[b]
+                    )
+                    nl = nl + NL.masked_progressive_normal_loss(
+                        g_norm, sampled, (rad[b] > 0).all(-1)
+                    )
+                terms["normalloss"] = (
+                    gate * cfg.mono_normal_lambda * nl / B
+                )
+                loss = loss + terms["normalloss"]
             if cfg.depth_normal_loss:
                 # self-supervised depth regularizers (reference
                 # add_simplified_depth_normal_loss, utils.py:1741-1808):
@@ -876,6 +913,10 @@ class Runner:
                     np.arange(len(items)) * 0 + np.asarray(idx, np.int32)
                 ),
             }
+            if cfg.load_normals and all("normal" in it for it in items):
+                batch["normal"] = jnp.asarray(
+                    np.stack([it["normal"] for it in items])
+                )
             if all("mask" in it for it in items):
                 # undistortion-ROI masks (reference data["mask"]):
                 # rendered pixels outside the valid region are zeroed
@@ -938,6 +979,10 @@ class Runner:
                 # depth_normal_start_step, utils.py:1773)
                 lr_dict["dnl_gate"] = jnp.float32(
                     1.0 if step > cfg.depth_normal_start_step else 0.0
+                )
+            if cfg.load_normals:
+                lr_dict["nml_gate"] = jnp.float32(
+                    1.0 if step >= cfg.start_normal_loss_step else 0.0
                 )
             self.key, k_step, k_strat = jax.random.split(self.key, 3)
 

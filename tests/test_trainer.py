@@ -520,3 +520,58 @@ def test_depth_normal_loss_regularizers(tmp_path):
     # gate: zero before the warmup step, positive after
     assert sm[2] == 0.0 and tv[2] == 0.0
     assert sm[6] > 0.0 and tv[6] > 0.0
+
+
+def test_mono_normal_map_supervision(tmp_path):
+    """load_normals: monocular normal maps from normals/*.npy supervise
+    per-gaussian differentiable normals (reference simple_trainer.py
+    :792-848), gated by start_normal_loss_step."""
+    import glob as _glob
+    import json
+
+    render_target_scene(str(tmp_path / "scene"))
+    ndir = tmp_path / "scene" / "normals"
+    os.makedirs(ndir, exist_ok=True)
+    img_names = sorted(
+        os.path.basename(p)
+        for p in _glob.glob(str(tmp_path / "scene" / "images" / "*.png"))
+    )
+    for name in img_names:
+        stem = os.path.splitext(name)[0]
+        nmap = np.zeros((48, 64, 3), np.float32)
+        nmap[..., 2] = 1.0  # all normals face the camera
+        np.save(str(ndir / f"{stem}.npy"), nmap)
+
+    from tdgs.strategy import MCMCStrategy
+    from tdgs.training.config import Config
+    from tdgs.training.trainer import Runner
+
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=6,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=2,
+        rasterizer="jax",
+        load_normals=True,
+        start_normal_loss_step=3,
+    )
+    Runner(cfg).train()
+    rows = [
+        json.loads(l)
+        for l in open(str(tmp_path / "results" / "metrics.jsonl"))
+    ]
+    nl = {r["step"]: r["train/normalloss"] for r in rows
+          if "train/normalloss" in r}
+    assert nl, rows
+    assert np.isfinite(list(nl.values())).all()
+    assert nl[2] == 0.0          # gated off before start step
+    assert nl[6] > 0.0           # active after
