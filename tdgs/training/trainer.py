@@ -221,10 +221,22 @@ class Runner:
         if cfg.pose_opt:
             from tdgs.training.modules import init_camera_opt
 
+            # learnable correction starts at identity (the reference's
+            # CameraOptModule zero_init, simple_trainer.py:480-486)
             self.aux_params["pose"] = init_camera_opt(
-                len(self.trainset), std=cfg.pose_noise, key=seg_key
+                len(self.trainset)
             )["embeds"]
             self.aux_lrs["pose"] = cfg.pose_opt_lr
+        self._pose_perturb = None
+        if cfg.pose_noise > 0.0:
+            from tdgs.training.modules import init_camera_opt
+
+            # FIXED perturbation of the training poses, separate from the
+            # learnable corrector (reference pose_perturb.random_init,
+            # simple_trainer.py:488-491 — the pose-opt test mode)
+            self._pose_perturb = init_camera_opt(
+                len(self.trainset), std=cfg.pose_noise, key=seg_key
+            )["embeds"]
         if cfg.use_bilateral_grid:
             from tdgs.training.bilateral_grid import init_bilateral_grid
 
@@ -550,14 +562,21 @@ class Runner:
 
         def loss_fn(params, seg_head, aux, means2d_offset, abs_tap):
             viewmats = batch["viewmat"]
-            if "pose" in aux:
-                # per-image SE(3) pose correction (CameraOptModule)
+            if self._pose_perturb is not None or "pose" in aux:
                 from tdgs.training.modules import apply_camera_opt
 
                 c2w = jnp.linalg.inv(viewmats)
-                c2w = apply_camera_opt(
-                    {"embeds": aux["pose"]}, c2w, batch["image_id"]
-                )
+                if self._pose_perturb is not None:
+                    # fixed pose corruption (reference pose_perturb :750)
+                    c2w = apply_camera_opt(
+                        {"embeds": jax.lax.stop_gradient(self._pose_perturb)},
+                        c2w, batch["image_id"],
+                    )
+                if "pose" in aux:
+                    # per-image SE(3) pose correction (CameraOptModule)
+                    c2w = apply_camera_opt(
+                        {"embeds": aux["pose"]}, c2w, batch["image_id"]
+                    )
                 viewmats = jnp.linalg.inv(c2w)
             batch_adj = dict(batch, viewmat=viewmats)
             if cfg.model_type == "2dgs":

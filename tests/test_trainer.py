@@ -575,3 +575,44 @@ def test_mono_normal_map_supervision(tmp_path):
     assert np.isfinite(list(nl.values())).all()
     assert nl[2] == 0.0          # gated off before start step
     assert nl[6] > 0.0           # active after
+
+
+def test_pose_noise_is_fixed_and_correctable(tmp_path):
+    """pose_noise corrupts training poses with a FIXED perturbation,
+    separate from the learnable pose_opt corrector (reference
+    pose_perturb, simple_trainer.py:488-491,:750): with both on, training
+    still converges and the corrector moves away from identity."""
+    render_target_scene(str(tmp_path / "scene"))
+    from tdgs.strategy import MCMCStrategy
+    from tdgs.training.config import Config
+    from tdgs.training.trainer import Runner
+
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=30,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=10,
+        rasterizer="jax",
+        pose_noise=1e-3,
+        pose_opt=True,
+        pose_opt_lr=1e-3,
+    )
+    runner = Runner(cfg)
+    # the perturbation is nonzero and the corrector starts at identity
+    assert float(np.abs(np.asarray(runner._pose_perturb)).max()) > 0
+    assert float(np.abs(np.asarray(runner.aux_params["pose"])).max()) == 0
+    out = runner.train()
+    hist = out["history"]
+    assert hist[-1]["loss"] < hist[0]["loss"], hist
+    # the perturbation never trained; the corrector did
+    assert float(np.abs(np.asarray(runner._pose_perturb)).max()) > 0
+    assert float(np.abs(np.asarray(runner.aux_params["pose"])).max()) > 0
