@@ -113,6 +113,11 @@ class Config:
     load_normals: bool = False
     start_normal_loss_step: int = 5000
     mono_normal_lambda: float = 0.1
+    # save depth + depth-normal visualizations during training at tb_every
+    # cadence (reference Config.save_depth_normal_vis :234; PNGs land in
+    # {result_dir}/vis/). Needs a depth-producing render mode (any of
+    # depth_loss / depth_normal_loss)
+    save_depth_normal_vis: bool = False
     opacity_reg: float = 0.0
     scale_reg: float = 0.0
 

@@ -815,6 +815,8 @@ class Runner:
                 "img": colors,
                 "loss_terms": jax.lax.stop_gradient(terms),
             }
+            if cfg.save_depth_normal_vis and img.shape[-1] > 3:
+                aux["depth"] = jax.lax.stop_gradient(img[..., 3:])
             if cq is not None:
                 aux["cluster_quality"] = jax.lax.stop_gradient(cq)
             return loss, aux
@@ -1103,6 +1105,31 @@ class Runner:
                     scalars["train/cluster_intra"] = float(intra)
                     scalars["train/cluster_inter"] = float(inter)
                 self.logger.log(step, scalars)
+                if cfg.save_depth_normal_vis and "depth" in aux:
+                    # depth + depth-normal dumps (reference
+                    # add_depth_normal_visualization_to_training_loop)
+                    from tdgs.utils.depth import depth_to_normal
+                    from tdgs.utils.viz import (
+                        apply_depth_colormap,
+                        save_image,
+                    )
+
+                    vis_dir = os.path.join(cfg.result_dir, "vis")
+                    d = np.asarray(aux["depth"][0])  # [H, W, 1]
+                    save_image(
+                        apply_depth_colormap(d),
+                        os.path.join(vis_dir, f"depth_{step:05d}.png"),
+                    )
+                    c2w = jnp.linalg.inv(batch["viewmat"][0])
+                    n = np.asarray(
+                        depth_to_normal(
+                            jnp.asarray(d), c2w, batch["K"][0]
+                        )
+                    )
+                    save_image(
+                        (n + 1.0) / 2.0,
+                        os.path.join(vis_dir, f"normal_{step:05d}.png"),
+                    )
 
             if step in cfg.eval_steps:
                 self.eval(step)

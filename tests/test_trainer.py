@@ -616,3 +616,37 @@ def test_pose_noise_is_fixed_and_correctable(tmp_path):
     # the perturbation never trained; the corrector did
     assert float(np.abs(np.asarray(runner._pose_perturb)).max()) > 0
     assert float(np.abs(np.asarray(runner.aux_params["pose"])).max()) > 0
+
+
+def test_save_depth_normal_vis(tmp_path):
+    """save_depth_normal_vis dumps depth + depth-normal PNGs at tb cadence
+    (reference add_depth_normal_visualization_to_training_loop)."""
+    import glob as _glob
+
+    render_target_scene(str(tmp_path / "scene"))
+    from tdgs.strategy import MCMCStrategy
+    from tdgs.training.config import Config
+    from tdgs.training.trainer import Runner
+
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=4,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=2,
+        rasterizer="jax",
+        depth_normal_loss=True,     # depth-producing render mode
+        save_depth_normal_vis=True,
+    )
+    Runner(cfg).train()
+    depths = _glob.glob(str(tmp_path / "results" / "vis" / "depth_*.png"))
+    normals = _glob.glob(str(tmp_path / "results" / "vis" / "normal_*.png"))
+    assert len(depths) >= 2 and len(normals) >= 2, (depths, normals)
