@@ -601,6 +601,7 @@ def rasterization_2dgs(
     isect_exact: bool = False,
     isect_exact_depth: bool = False,
     rasterizer: str = "jax",
+    means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
     # --- reference drop-in kwargs (gsplat/rendering.py:1270 argument set) ---
     eps2d: float = 0.3,
     packed: Optional[bool] = None,
@@ -647,6 +648,14 @@ def rasterization_2dgs(
         means, quats, scales, viewmats, Ks, width, height,
         near_plane=near_plane, far_plane=far_plane, radius_clip=radius_clip,
     )
+    if means2d_offset is not None:
+        # densification tap (same contract as the 3DGS path): the gradient
+        # of the loss w.r.t. this zeros input is the screen-space means2d
+        # gradient DefaultStrategy densifies on
+        assert means2d_offset.shape == means2d.shape, (
+            means2d_offset.shape, means2d.shape,
+        )
+        means2d = means2d + means2d_offset
     opacities_cn = jnp.broadcast_to(opacities[..., None, :], batch_dims + (C, N))
 
     if sh_degree is None:

@@ -593,6 +593,9 @@ class Runner:
                     sh_degree=sh_degree,
                     render_mode="RGB+ED",
                     distloss=cfg.dist_loss,
+                    means2d_offset=(
+                        means2d_offset if use_means2d_tap else None
+                    ),
                     tile_capacity=cfg.tile_capacity,
                     isect_capacity=cfg.isect_capacity,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,

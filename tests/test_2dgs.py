@@ -263,3 +263,44 @@ def test_2dgs_packed_truncation_matches_jax():
         scale = np.abs(b).max() + 1e-8
         assert np.abs(a - b).max() / scale < 3e-2, (
             name, np.abs(a - b).max() / scale)
+
+
+def test_2dgs_means2d_tap_gradient():
+    """The 2DGS densification tap: grad of the loss w.r.t. a zeros
+    means2d_offset equals the screen-space means2d gradient (same contract
+    as the 3DGS path — DefaultStrategy densifies on it)."""
+    import jax
+
+    from tdgs.rendering import rasterization_2dgs
+
+    rng = np.random.default_rng(40)
+    N, C, width, height = 24, 2, 48, 32
+    means = jnp.asarray(
+        (rng.normal(size=(N, 3)) * 0.6 + [0, 0, 4.0]).astype(np.float32)
+    )
+    quats = jnp.asarray(rng.normal(size=(N, 4)).astype(np.float32))
+    scales = jnp.asarray(rng.uniform(0.1, 0.5, size=(N, 3)).astype(np.float32))
+    opac = jnp.asarray(rng.uniform(0.4, 1.0, size=(N,)).astype(np.float32))
+    cols = jnp.asarray(rng.uniform(0, 1, size=(N, 3)).astype(np.float32))
+    viewmats = jnp.tile(jnp.eye(4), (C, 1, 1)).astype(jnp.float32)
+    Ks = jnp.tile(
+        jnp.asarray([[50.0, 0, 24], [0, 50.0, 16], [0, 0, 1]]), (C, 1, 1)
+    ).astype(jnp.float32)
+
+    def loss(tap):
+        img, *_ = rasterization_2dgs(
+            means, quats, scales, opac, cols, viewmats, Ks, width, height,
+            means2d_offset=tap, tile_capacity=256, isect_capacity=1 << 12,
+        )
+        return jnp.sum(img**2)
+
+    tap = jnp.zeros((C, N, 2))
+    g = jax.grad(loss)(tap)
+    assert g.shape == (C, N, 2)
+    assert float(jnp.abs(g).max()) > 0.0, "tap delivered no gradient"
+    # offsetting by the tap must equal offsetting means2d: finite-diff check
+    eps = 1e-3
+    d = jnp.zeros((C, N, 2)).at[0, 0, 0].set(eps)
+    fd = (loss(d) - loss(-d)) / (2 * eps)
+    np.testing.assert_allclose(float(fd), float(g[0, 0, 0]), rtol=2e-2,
+                               atol=1e-3)

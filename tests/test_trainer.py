@@ -650,3 +650,34 @@ def test_save_depth_normal_vis(tmp_path):
     depths = _glob.glob(str(tmp_path / "results" / "vis" / "depth_*.png"))
     normals = _glob.glob(str(tmp_path / "results" / "vis" / "normal_*.png"))
     assert len(depths) >= 2 and len(normals) >= 2, (depths, normals)
+
+
+def test_trainer_2dgs_default_strategy_densifies(tmp_path):
+    """2DGS + DefaultStrategy: the means2d tap must deliver screen-space
+    gradients so grow/prune has signal (the reference's 2DGS trainer
+    densifies with DefaultStrategy by default)."""
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        model_type="2dgs",
+        max_steps=8,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        strategy=DefaultStrategy(refine_start_iter=1000, reset_every=10_000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        tb_every=4,
+        rasterizer="jax",
+    )
+    runner = Runner(cfg)
+    runner.train()
+    state = runner.strategy_state
+    assert (np.asarray(state["count"]) > 0).any()
+    assert (np.asarray(state["grad2d"]) > 0).any(), (
+        "2DGS means2d tap delivered no densify signal"
+    )
