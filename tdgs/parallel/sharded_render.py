@@ -280,10 +280,12 @@ def rasterization_2dgs_sharded(
     tile_size: int = 16,
     backgrounds: Optional[jnp.ndarray] = None,  # [C, D] camera-sharded
     distloss: bool = False,
+    render_mode: str = "RGB",
     isect_capacity: Optional[int] = None,
     tile_capacity: int = 512,
     max_tiles_per_gauss: int = 32,
     rasterizer: str = "jax",
+    means2d_offset: Optional[jnp.ndarray] = None,  # [C, N, 2] gauss-sharded
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            Dict]:
     """2DGS (surfel) counterpart of ``rasterization_sharded``: the same
@@ -300,9 +302,16 @@ def rasterization_2dgs_sharded(
     N = means.shape[0]
     assert C % D_mesh == 0, f"cameras {C} must divide over {D_mesh} devices"
     assert rasterizer in ("jax", "packed", "packed_inference")
+    assert render_mode in ("RGB", "RGB+ED"), render_mode
+    need_depth = distloss or render_mode == "RGB+ED"
+    has_bkgd = backgrounds is not None
+    has_offset = means2d_offset is not None
 
     def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
-                 *maybe_bkgd):
+                 *extras):
+        extras = list(extras)
+        bkgd_in = extras.pop(0) if has_bkgd else None
+        offset_in = extras.pop(0) if has_offset else None  # [C, n, 2]
         n = means.shape[0]
         viewmats_all = comm.all_gather(viewmats, axis_name)
         Ks_all = comm.all_gather(Ks, axis_name)
@@ -312,6 +321,10 @@ def rasterization_2dgs_sharded(
             near_plane=near_plane, far_plane=far_plane,
             radius_clip=radius_clip,
         )  # [C, n, ...]
+        if offset_in is not None:
+            # densification tap: grads arrive gaussian-sharded through
+            # the all_to_all, like rasterization_sharded's
+            means2d = means2d + offset_in
 
         if sh_degree is None:
             cols = jnp.broadcast_to(colors[None], (C,) + colors.shape)
@@ -334,13 +347,13 @@ def rasterization_2dgs_sharded(
         normals_l = a2a(normals)
         opac_l = a2a(opac)
         cols_l = a2a(cols)
-        if distloss:
+        if need_depth:
             cols_l = jnp.concatenate(
                 [cols_l, depths_l[..., None]], axis=-1
             )
 
-        bkgd = maybe_bkgd[0] if maybe_bkgd else None
-        if bkgd is not None and distloss:
+        bkgd = bkgd_in
+        if bkgd is not None and need_depth:
             bkgd = jnp.concatenate(
                 [bkgd, jnp.zeros(bkgd.shape[:-1] + (1,), bkgd.dtype)],
                 axis=-1,
@@ -378,7 +391,7 @@ def rasterization_2dgs_sharded(
                     means2d_l, M_l, cols_l, normals_l, opac_l, width,
                     height, tile_size, isect.offsets, isect.flatten_ids,
                     backgrounds=bkgd, tile_capacity=tile_capacity,
-                    has_depth=distloss, compute_distort=distloss,
+                    has_depth=need_depth, compute_distort=distloss,
                 )
         else:
             from tdgs.ops.rasterize_2dgs_jax import (
@@ -400,24 +413,36 @@ def rasterization_2dgs_sharded(
                 backgrounds=bkgd, tile_capacity=tile_capacity,
                 compute_distort=distloss,
             )
-        if distloss:
+        if need_depth and render_mode != "RGB+ED":
             img = img[..., :-1]  # drop the carried depth channel
-        return img, alpha, nrm, dist, med, isect.n_dropped[None]
+        elif render_mode == "RGB+ED":
+            # expected depth: normalize the accumulated channel by alpha
+            img = jnp.concatenate(
+                [img[..., :-1],
+                 img[..., -1:] / jnp.maximum(alpha, 1e-10)], axis=-1,
+            )
+        return img, alpha, nrm, dist, med, isect.n_dropped[None], radii
 
     in_specs = [P(axis_name)] * 7
     args = [means, quats, scales, opacities, colors, viewmats, Ks]
-    if backgrounds is not None:
+    if has_bkgd:
         in_specs.append(P(axis_name))
         args.append(backgrounds)
+    if has_offset:
+        in_specs.append(P(None, axis_name))
+        args.append(means2d_offset)
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=tuple([P(axis_name)] * 6),
+        out_specs=tuple([P(axis_name)] * 6) + (P(None, axis_name),),
         check_vma=False,
     )
-    img, alpha, nrm, dist, med, n_dropped = shard(*args)
-    meta = {"n_dropped": n_dropped, "width": width, "height": height}
+    img, alpha, nrm, dist, med, n_dropped, radii = shard(*args)
+    meta = {
+        "n_dropped": n_dropped, "width": width, "height": height,
+        "radii": radii,
+    }
     return img, alpha, nrm, dist, med, meta
 
 

@@ -163,9 +163,7 @@ class Runner:
                 "sharded UT/eval3d: use tdgs.parallel."
                 "rasterization_eval3d_sharded directly"
             )
-            assert cfg.model_type == "3dgs", (
-                "sharded training currently covers the 3DGS family"
-            )
+            assert cfg.model_type in ("3dgs", "2dgs"), cfg.model_type
             assert not cfg.app_opt, (
                 "sharded + app_opt: per-camera colors are not exchanged"
             )
@@ -586,27 +584,59 @@ class Runner:
                 from tdgs.models import gaussians as G2
 
                 means, quats, scales, opacities, sh = G2.splat_activations(params)
-                (img, alpha, normals, normals_from_depth, render_distort,
-                 render_median, meta) = rasterization_2dgs(
-                    means, quats, scales, opacities, sh,
-                    batch_adj["viewmat"], batch["K"], W, H,
-                    sh_degree=sh_degree,
-                    render_mode="RGB+ED",
-                    distloss=cfg.dist_loss,
-                    means2d_offset=(
-                        means2d_offset if use_means2d_tap else None
-                    ),
-                    tile_capacity=cfg.tile_capacity,
-                    isect_capacity=cfg.isect_capacity,
-                    max_tiles_per_gauss=cfg.max_tiles_per_gauss,
-                    backgrounds=backgrounds,
-                    # differentiable Pallas fast path on TPU (custom-VJP
-                    # pair in rasterize_2dgs_pallas); jnp oracle elsewhere
-                    rasterizer=(
-                        "packed"
-                        if jax.default_backend() == "tpu" else "jax"
-                    ),
+                raster_2dgs = (
+                    "packed" if jax.default_backend() == "tpu" else "jax"
                 )
+                if (
+                    self.mesh is not None
+                    and batch_adj["viewmat"].shape[0]
+                    % self.mesh.shape["gauss"] == 0
+                ):
+                    # multi-device surfel training (Config.sharded): same
+                    # exchange as the 3DGS path, surfel features shipped
+                    from tdgs.parallel import rasterization_2dgs_sharded
+                    from tdgs.utils.depth import depth_to_normal
+
+                    (img, alpha, normals, render_distort, render_median,
+                     meta) = rasterization_2dgs_sharded(
+                        means, quats, scales, opacities, sh,
+                        batch_adj["viewmat"], batch["K"], W, H, self.mesh,
+                        sh_degree=sh_degree,
+                        render_mode="RGB+ED",
+                        distloss=cfg.dist_loss,
+                        means2d_offset=(
+                            means2d_offset if use_means2d_tap else None
+                        ),
+                        tile_capacity=cfg.tile_capacity,
+                        isect_capacity=cfg.isect_capacity,
+                        max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                        backgrounds=backgrounds,
+                        rasterizer=raster_2dgs,
+                    )
+                    normals_from_depth = depth_to_normal(
+                        img[..., -1:],
+                        jnp.linalg.inv(batch_adj["viewmat"]),
+                        batch["K"],
+                    )
+                else:
+                    (img, alpha, normals, normals_from_depth, render_distort,
+                     render_median, meta) = rasterization_2dgs(
+                        means, quats, scales, opacities, sh,
+                        batch_adj["viewmat"], batch["K"], W, H,
+                        sh_degree=sh_degree,
+                        render_mode="RGB+ED",
+                        distloss=cfg.dist_loss,
+                        means2d_offset=(
+                            means2d_offset if use_means2d_tap else None
+                        ),
+                        tile_capacity=cfg.tile_capacity,
+                        isect_capacity=cfg.isect_capacity,
+                        max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                        backgrounds=backgrounds,
+                        # differentiable Pallas fast path on TPU (custom-VJP
+                        # pair in rasterize_2dgs_pallas); jnp oracle elsewhere
+                        rasterizer=raster_2dgs,
+                    )
                 if "mask" in batch:
                     img = img * batch["mask"][..., None]
                 colors = img[..., :3]

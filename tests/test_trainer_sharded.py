@@ -109,3 +109,29 @@ def test_sharded_matches_unsharded_first_step(scene_dir, tmp_path):
     loss_s = Runner(cfg_s).train()["history"][-1]["loss"]
     loss_u = Runner(cfg_u).train()["history"][-1]["loss"]
     assert abs(loss_s - loss_u) < 2e-4, (loss_s, loss_u)
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+def test_sharded_2dgs_training(scene_dir, tmp_path):
+    """Config.sharded with the 2DGS family: surfel features ship through
+    the exchange, the densify tap still delivers screen grads, and normal/
+    distortion losses run on camera-sharded outputs."""
+    cfg = _base_cfg(
+        scene_dir, tmp_path,
+        model_type="2dgs",
+        normal_loss=True,
+        normal_start_iter=2,
+        dist_loss=True,
+        dist_start_iter=2,
+        strategy=DefaultStrategy(refine_start_iter=1000,
+                                 reset_every=10_000),
+    )
+    runner = Runner(cfg)
+    out = runner.train()
+    losses = [h["loss"] for h in out["history"]]
+    assert np.isfinite(losses).all(), losses
+    state = runner.strategy_state
+    assert (np.asarray(state["count"]) > 0).any()
+    assert (np.asarray(state["grad2d"]) > 0).any()
+    stats = runner.eval(cfg.max_steps)
+    assert np.isfinite(stats["psnr"]), stats
