@@ -616,7 +616,7 @@ def rasterization_eval3d_sharded(
             img = img + (1.0 - alp[..., None]) * bkgd.reshape(
                 c_local, 1, 1, D_ch
             )
-        return img, alp[..., None], isect.n_dropped[None]
+        return img, alp[..., None], isect.n_dropped[None], radii
 
     in_specs = [P(axis_name)] * 7
     args = [means, quats, scales, opacities, colors, viewmats, Ks]
@@ -627,11 +627,15 @@ def rasterization_eval3d_sharded(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name),
+                   P(None, axis_name)),
         check_vma=False,
     )
-    img, alpha, n_dropped = shard(*args)
-    meta = {"n_dropped": n_dropped, "width": width, "height": height}
+    img, alpha, n_dropped, radii = shard(*args)
+    meta = {
+        "n_dropped": n_dropped, "width": width, "height": height,
+        "radii": radii,
+    }
     return img, alpha, meta
 
 

@@ -159,9 +159,9 @@ class Runner:
                 f"sharded: batch_size {cfg.batch_size} must divide over "
                 f"{n_dev} devices (each renders batch/D cameras)"
             )
-            assert not (cfg.with_ut or cfg.with_eval3d), (
-                "sharded UT/eval3d: use tdgs.parallel."
-                "rasterization_eval3d_sharded directly"
+            assert not cfg.with_ut, (
+                "sharded + UT: the sharded eval3d exchange covers central "
+                "pinhole cameras (no distortion/rolling shutter)"
             )
             assert cfg.model_type in ("3dgs", "2dgs"), cfg.model_type
             assert not cfg.app_opt, (
@@ -446,6 +446,22 @@ class Runner:
             from tdgs.parallel import rasterization_sharded
 
             assert means2d_abs_tap is None, "sharded: absgrad tap unsupported"
+            if cfg.with_eval3d:
+                from tdgs.parallel import rasterization_eval3d_sharded
+
+                assert render_mode == "RGB", (
+                    "sharded eval3d train renders RGB (no depth channel)"
+                )
+                return rasterization_eval3d_sharded(
+                    means, quats, scales, opacities, colors, viewmats, Ks,
+                    width, height, self.mesh,
+                    sh_degree=sh_deg,
+                    near_plane=cfg.near_plane, far_plane=cfg.far_plane,
+                    tile_capacity=cfg.tile_capacity,
+                    isect_capacity=cfg.isect_capacity,
+                    max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                    backgrounds=backgrounds,
+                )
             return rasterization_sharded(
                 means, quats, scales, opacities, colors, viewmats, Ks,
                 width, height, self.mesh,

@@ -135,3 +135,22 @@ def test_sharded_2dgs_training(scene_dir, tmp_path):
     assert (np.asarray(state["grad2d"]) > 0).any()
     stats = runner.eval(cfg.max_steps)
     assert np.isfinite(stats["psnr"]), stats
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+def test_sharded_eval3d_training(scene_dir, tmp_path):
+    """Config.sharded with the world-space (eval3d) family: per-(camera,
+    gaussian) response features ship through the exchange; MCMC strategy
+    (eval3d produces no screen-space gradients)."""
+    cfg = _base_cfg(
+        scene_dir, tmp_path,
+        with_eval3d=True,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=2,
+                              refine_every=4),
+    )
+    runner = Runner(cfg)
+    out = runner.train()
+    losses = [h["loss"] for h in out["history"]]
+    assert np.isfinite(losses).all(), losses
+    stats = runner.eval(cfg.max_steps)
+    assert np.isfinite(stats["psnr"]), stats
