@@ -373,3 +373,44 @@ def test_replicated_render_matches_single_device():
         np.asarray(alp_p), np.asarray(alp_r), rtol=1e-4, atol=1e-4
     )
     assert meta_p["n_dropped"].shape == (jax.device_count(),)
+
+
+def test_sharded_2dgs_render_mode_ed_matches():
+    """render_mode=RGB+ED through the sharded 2DGS exchange: the
+    alpha-normalized expected-depth channel matches single-device."""
+    from tdgs.parallel import rasterization_2dgs_sharded
+    from tdgs.rendering import rasterization_2dgs
+
+    mesh = make_mesh()
+    D = mesh.shape["gauss"]
+    rng = np.random.default_rng(24)
+    N, C = 32 * D, D
+    width, height = 48, 32
+    means = rng.normal(size=(N, 3)).astype(np.float32) * 0.5
+    means[:, 2] += 4.0
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    scales = rng.uniform(0.05, 0.2, size=(N, 3)).astype(np.float32)
+    opac = rng.uniform(0.4, 0.9, size=(N,)).astype(np.float32)
+    sh = (rng.normal(size=(N, 4, 3)) * 0.3).astype(np.float32)
+    viewmats = np.tile(np.eye(4, dtype=np.float32), (C, 1, 1))
+    viewmats[:, 0, 3] = np.linspace(-0.2, 0.2, C)
+    Ks = np.tile(
+        np.array([[50.0, 0, width / 2], [0, 50.0, height / 2], [0, 0, 1]],
+                 np.float32),
+        (C, 1, 1),
+    )
+    j = jnp.asarray
+    args = (j(means), j(quats), j(scales), j(opac), j(sh),
+            j(viewmats), j(Ks))
+    img_s, alp_s, *_ = rasterization_2dgs_sharded(
+        *args, width, height, mesh, sh_degree=1, render_mode="RGB+ED",
+        isect_capacity=1 << 13, tile_capacity=256,
+    )
+    out_r = rasterization_2dgs(
+        *args, width, height, sh_degree=1, render_mode="RGB+ED",
+        isect_capacity=(1 << 13) * D, tile_capacity=256,
+    )
+    assert img_s.shape[-1] == 4
+    np.testing.assert_allclose(
+        np.asarray(img_s), np.asarray(out_r[0]), rtol=2e-3, atol=2e-3
+    )
