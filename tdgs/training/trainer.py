@@ -322,6 +322,22 @@ class Runner:
         return jax.tree.map(put, tree)
 
     # ------------------------------------------------------------------
+    def _replicated_splats(self) -> G.SplatParams:
+        """Splats re-laid out replicated for single-camera render paths
+        (eval / traj video / live viewer). Under Config.sharded the splat
+        arrays live sharded over the gauss axis; the C=1 fallback renders
+        would otherwise hit eager ops (incl. Pallas kernels on TPU) with
+        multi-device operands. One all_gather per call; eval cadence only."""
+        if self.mesh is None:
+            return self.splats
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(self.mesh, P())
+        return jax.tree.map(
+            lambda x: jax.device_put(x, repl), self.splats
+        )
+
+    # ------------------------------------------------------------------
     def _init_splats(self, key) -> G.SplatParams:
         cfg = self.cfg
         if cfg.init_type == "sfm":
@@ -1195,11 +1211,12 @@ class Runner:
         cfg = self.cfg
         metrics = defaultdict(list)
         t0 = time.time()
+        splats = self._replicated_splats()
         for i in range(len(self.valset)):
             d = self.valset[i]
             H, W = d["image"].shape[:2]
             img, alpha, _ = self.rasterize_splats(
-                self.splats,
+                splats,
                 jnp.asarray(d["viewmat"])[None],
                 jnp.asarray(d["K"])[None],
                 W, H, cfg.sh_degree,
@@ -1273,12 +1290,13 @@ class Runner:
         W, H = self.parser.imsize_dict[self.parser.camera_ids[0]]
 
         frames = []
+        splats = self._replicated_splats()
         for c in path:
             c2w4 = np.eye(4, dtype=np.float32)
             c2w4[:3] = c
             viewmat = np.linalg.inv(c2w4).astype(np.float32)
             img, _, _ = self.rasterize_splats(
-                self.splats, jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
+                splats, jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
                 W, H, self.cfg.sh_degree, render_mode="RGB+ED",
             )
             frames.append(
