@@ -1234,6 +1234,17 @@ class Runner:
             from tdgs.training.metrics import lpips
 
             metrics["lpips"].append(float(lpips(pred[None], gt[None])[0]))
+            if cfg.use_bilateral_grid:
+                # color-corrected metrics: affine fit removes per-image
+                # exposure before scoring (reference eval :1351-1356)
+                from tdgs.training.bilateral_grid import color_correct
+
+                cc = jnp.clip(color_correct(pred, gt), 0.0, 1.0)
+                metrics["cc_psnr"].append(float(L.psnr(cc, gt)))
+                metrics["cc_ssim"].append(float(L.ssim(cc[None], gt[None])))
+                metrics["cc_lpips"].append(
+                    float(lpips(cc[None], gt[None])[0])
+                )
             if cfg.tb_save_image:
                 # reference tb_save_image: persist eval renders for
                 # inspection (saved as PNGs next to the stats JSONs)

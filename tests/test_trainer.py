@@ -681,3 +681,35 @@ def test_trainer_2dgs_default_strategy_densifies(tmp_path):
     assert (np.asarray(state["grad2d"]) > 0).any(), (
         "2DGS means2d tap delivered no densify signal"
     )
+
+
+def test_bilateral_grid_cc_metrics(tmp_path):
+    """With bilateral grids on, eval reports color-corrected metrics
+    (reference cc_psnr/cc_ssim/cc_lpips, simple_trainer.py:1351-1356);
+    the affine fit can only improve PSNR."""
+    render_target_scene(str(tmp_path / "scene"))
+    from tdgs.strategy import MCMCStrategy
+    from tdgs.training.config import Config
+    from tdgs.training.trainer import Runner
+
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        max_steps=6,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        rasterizer="jax",
+        use_bilateral_grid=True,
+    )
+    runner = Runner(cfg)
+    runner.train()
+    stats = runner.eval(6)
+    assert "cc_psnr" in stats and np.isfinite(stats["cc_psnr"])
+    assert stats["cc_psnr"] >= stats["psnr"] - 0.3, stats
