@@ -74,6 +74,7 @@ def rasterization_sharded(
     max_tiles_per_gauss: int = 32,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [C, N, 2] gauss-sharded
+    batch_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Collaboratively render C cameras from N gaussians sharded over the mesh.
 
@@ -91,11 +92,23 @@ def rasterization_sharded(
     *before* the all_to_all so its gradient arrives gaussian-sharded on
     each owner device. ``meta["radii"]`` carries the pre-exchange radii
     [C, N, 2] for visibility masks (selective Adam / strategy state).
+
+    ``batch_axis`` names an optional second mesh axis for a 2-D
+    (data-parallel x gaussian-sharded) layout: cameras split over
+    ``(batch_axis, axis_name)`` while gaussians stay sharded on
+    ``axis_name`` and replicate over ``batch_axis``. Each batch column
+    runs the same gather->project->all_to_all exchange over its own
+    gaussian sub-axis — collectives never cross the batch axis, so frame
+    throughput scales with the batch dimension while the scene still
+    outgrows one chip's HBM along the gauss dimension.
     """
     D_mesh = mesh.shape[axis_name]
+    B_mesh = mesh.shape[batch_axis] if batch_axis is not None else 1
     C = viewmats.shape[0]
     N = means.shape[0]
-    assert C % D_mesh == 0, f"cameras {C} must divide over {D_mesh} devices"
+    assert C % (D_mesh * B_mesh) == 0, (
+        f"cameras {C} must divide over {D_mesh}x{B_mesh} devices"
+    )
     assert render_mode in _RENDER_MODES, render_mode
     assert rasterize_mode in ("classic", "antialiased"), rasterize_mode
     assert rasterizer in ("jax", "pallas", "packed", "packed_inference")
@@ -113,11 +126,14 @@ def rasterization_sharded(
         bkgd_in = extras.pop(0) if has_bkgd else None
         offset_in = extras.pop(0) if has_offset else None  # [C, n, 2]
         n = means.shape[0]
-        # (1) gather all cameras (reference rendering.py:366-381)
+        # (1) gather this batch column's cameras (reference
+        # rendering.py:366-381); with batch_axis the gather stays inside
+        # the column, so c_all = C / B_mesh
         viewmats_all = comm.all_gather(viewmats, axis_name)
         Ks_all = comm.all_gather(Ks, axis_name)
+        c_all = viewmats_all.shape[0]
 
-        # (2) project local gaussians against ALL cameras
+        # (2) project local gaussians against the column's cameras
         radii, means2d, depths, conics, compensations = fully_fused_projection(
             means, quats, scales, viewmats_all, Ks_all, width, height,
             eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
@@ -129,18 +145,18 @@ def rasterization_sharded(
             # grads, delivered gaussian-sharded to each owner device
             means2d = means2d + offset_in
 
-        # (3) colors for all cameras
+        # (3) colors for the column's cameras
         if sh_degree is None:
-            cols = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            cols = jnp.broadcast_to(colors[None], (c_all,) + colors.shape)
         else:
             campos = jnp.linalg.inv(viewmats_all)[:, :3, 3]
             dirs = means[None, :, :] - campos[:, None, :]
             masks = (radii > 0).all(-1)
-            shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
+            shs = jnp.broadcast_to(colors[None], (c_all,) + colors.shape)
             cols = spherical_harmonics(sh_degree, dirs, shs, masks=masks)
             cols = jnp.maximum(cols + 0.5, 0.0)
 
-        opac = jnp.broadcast_to(opacities[None], (C, n))
+        opac = jnp.broadcast_to(opacities[None], (c_all, n))
         if calc_compensations:
             opac = opac * compensations
 
@@ -237,20 +253,28 @@ def rasterization_sharded(
         # → [C, N] global (gaussian axis restored by the out_spec concat)
         return img, alpha, isect.n_dropped[None], radii
 
-    in_specs = [P(axis_name)] * 7
+    cam_spec = (
+        P((batch_axis, axis_name)) if batch_axis is not None
+        else P(axis_name)
+    )
+    gauss_spec = P(axis_name)  # replicated over batch_axis by omission
+    tap_spec = (
+        P(batch_axis, axis_name) if batch_axis is not None
+        else P(None, axis_name)
+    )
+    in_specs = [gauss_spec] * 5 + [cam_spec, cam_spec]
     args = [means, quats, scales, opacities, colors, viewmats, Ks]
     if has_bkgd:
-        in_specs.append(P(axis_name))
+        in_specs.append(cam_spec)
         args.append(backgrounds)
     if has_offset:
-        in_specs.append(P(None, axis_name))
+        in_specs.append(tap_spec)
         args.append(means2d_offset)
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(P(axis_name), P(axis_name), P(axis_name),
-                   P(None, axis_name)),
+        out_specs=(cam_spec, cam_spec, cam_spec, tap_spec),
         check_vma=False,
     )
     img, alpha, n_dropped, radii = shard(*args)

@@ -414,3 +414,69 @@ def test_sharded_2dgs_render_mode_ed_matches():
     np.testing.assert_allclose(
         np.asarray(img_s), np.asarray(out_r[0]), rtol=2e-3, atol=2e-3
     )
+
+
+def test_sharded_2d_mesh_matches_single_device():
+    """2-D (frame x gauss) mesh: cameras split over both axes, gaussians
+    sharded on gauss and replicated over frame — the dp x tp composition.
+    Must match the single-device render exactly."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()).reshape(2, -1)
+    mesh2d = Mesh(devices, ("frame", "gauss"))
+
+    rng = np.random.default_rng(63)
+    means, quats, scales, opac, sh, viewmats, Ks = make_scene(rng, C=8)
+    width, height = 64, 48
+
+    j = jnp.asarray
+    args = (j(means), j(quats), j(scales), j(opac), j(sh),
+            j(viewmats), j(Ks))
+    img_2d, alp_2d, meta = rasterization_sharded(
+        *args, width, height, mesh2d, sh_degree=1,
+        tile_capacity=128, isect_capacity=1 << 13,
+        batch_axis="frame",
+    )
+    assert meta["radii"].shape[:2] == (8, means.shape[0])
+    img_r, alp_r, _ = rasterization(
+        *args, width, height, sh_degree=1, tile_capacity=128,
+    )
+    np.testing.assert_allclose(
+        np.asarray(img_2d), np.asarray(img_r), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(alp_2d), np.asarray(alp_r), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_sharded_2d_mesh_grads_and_tap():
+    """Gradients flow through the 2-D layout: to gaussian params (through
+    the column-local all_to_all) and to the densify tap (delivered
+    [C, N, 2] with batch-major camera order)."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()).reshape(2, -1)
+    mesh2d = Mesh(devices, ("frame", "gauss"))
+    rng = np.random.default_rng(64)
+    means, quats, scales, opac, sh, viewmats, Ks = make_scene(rng, N=32, C=8)
+    width, height = 32, 32
+    tgt = rng.uniform(0, 1, size=(8, height, width, 3)).astype(np.float32)
+    j = jnp.asarray
+
+    def loss(means_in, tap):
+        img, _, _ = rasterization_sharded(
+            means_in, jnp.asarray(quats), jnp.asarray(scales),
+            jnp.asarray(opac), jnp.asarray(sh), jnp.asarray(viewmats),
+            jnp.asarray(Ks), width, height, mesh2d, sh_degree=1,
+            tile_capacity=128, isect_capacity=1 << 12,
+            batch_axis="frame", means2d_offset=tap,
+        )
+        return jnp.mean((img - tgt) ** 2)
+
+    tap = jnp.zeros((8, 32, 2))
+    g_means, g_tap = jax.jit(jax.grad(loss, argnums=(0, 1)))(
+        jnp.asarray(means), tap
+    )
+    assert float(jnp.abs(g_means).max()) > 0
+    assert g_tap.shape == (8, 32, 2)
+    assert float(jnp.abs(g_tap).max()) > 0
