@@ -528,26 +528,56 @@ class Runner:
         # read donated memory once the next step commits
         with self.viewer_lock:
             means, quats, scales, opacities, sh = G.splat_activations(
-                self.splats
+                self._replicated_splats()
             )
-            img, alpha, _ = rasterization(
-                means, quats, scales, opacities, sh,
-                jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
-                width, height,
-                sh_degree=min(st.max_sh_degree, cfg.sh_degree),
-                near_plane=st.near_plane, far_plane=st.far_plane,
-                radius_clip=st.radius_clip, eps2d=st.eps2d,
-                render_mode=mode,
-                rasterizer=(
-                    "packed_inference" if jax.default_backend() == "tpu"
-                    else "jax"
-                ),
-                tile_capacity=cfg.tile_capacity,
-                isect_capacity=cfg.isect_capacity,
-                backgrounds=jnp.asarray(
-                    np.array(st.backgrounds, np.float32)
-                )[None] if st.render_mode == "rgb" else None,
+            bkgd = (
+                jnp.asarray(np.array(st.backgrounds, np.float32))[None]
+                if st.render_mode == "rgb" else None
             )
+            if cfg.model_type == "2dgs":
+                # surfel model family: render through the 2DGS path
+                # (reference gsplat_viewer_2dgs.py exists for the same
+                # reason — the render math differs)
+                from tdgs.rendering import rasterization_2dgs
+
+                out = rasterization_2dgs(
+                    means, quats, scales, opacities, sh,
+                    jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
+                    width, height,
+                    sh_degree=min(st.max_sh_degree, cfg.sh_degree),
+                    near_plane=st.near_plane, far_plane=st.far_plane,
+                    radius_clip=st.radius_clip,
+                    render_mode=mode if mode != "ED" else "RGB+ED",
+                    backgrounds=bkgd,
+                    tile_capacity=cfg.tile_capacity,
+                    isect_capacity=cfg.isect_capacity,
+                    rasterizer=(
+                        "packed_inference"
+                        if jax.default_backend() == "tpu" else "jax"
+                    ),
+                )
+                img, alpha = out[0], out[1]
+                if mode == "ED":
+                    img = img[..., -1:]  # expected-depth channel
+            else:
+                img, alpha, _ = rasterization(
+                    means, quats, scales, opacities, sh,
+                    jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
+                    width, height,
+                    sh_degree=min(st.max_sh_degree, cfg.sh_degree),
+                    near_plane=st.near_plane, far_plane=st.far_plane,
+                    radius_clip=st.radius_clip, eps2d=st.eps2d,
+                    render_mode=mode,
+                    with_eval3d=cfg.with_eval3d,
+                    with_ut=cfg.with_ut,
+                    rasterizer=(
+                        "packed_inference" if jax.default_backend() == "tpu"
+                        else "jax"
+                    ),
+                    tile_capacity=cfg.tile_capacity,
+                    isect_capacity=cfg.isect_capacity,
+                    backgrounds=bkgd,
+                )
             img = np.asarray(img)
             alpha = np.asarray(alpha)
         if st.render_mode == "depth":

@@ -60,3 +60,45 @@ def test_viewer_http_roundtrip():
     finally:
         viewer.shutdown()
         th.join(timeout=10)
+
+
+@pytest.mark.parametrize("model_type", ["3dgs", "2dgs"])
+def test_trainer_live_render_fn(model_type, tmp_path):
+    """The trainer's live-view render (Runner._viewer_render_fn) must
+    route through the trained family's render math — 2DGS surfels through
+    rasterization_2dgs (reference ships gsplat_viewer_2dgs.py for this)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_trainer import render_target_scene
+
+    from tdgs.strategy import MCMCStrategy
+    from tdgs.training.config import Config
+    from tdgs.training.trainer import Runner
+
+    render_target_scene(str(tmp_path / "scene"))
+    cfg = Config(
+        data_dir=str(tmp_path / "scene"),
+        result_dir=str(tmp_path / "results"),
+        data_factor=1,
+        model_type=model_type,
+        max_steps=2,
+        eval_steps=[],
+        save_steps=[],
+        sh_degree=1,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+        capacity=256,
+        tile_capacity=256,
+        isect_capacity=1 << 14,
+        test_every=4,
+        rasterizer="jax",
+    )
+    runner = Runner(cfg)
+    vm = np.asarray(runner.trainset[0]["viewmat"])
+    K = np.asarray(runner.trainset[0]["K"])
+    for mode in ("rgb", "depth", "alpha"):
+        img = runner._viewer_render_fn(
+            vm, K, 64, 48, RenderTabState(render_mode=mode)
+        )
+        assert img.shape == (48, 64, 3) and img.dtype == np.uint8
+        assert np.isfinite(img.astype(np.float32)).all()
