@@ -39,6 +39,17 @@ def _imread(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"))
 
 
+def _nearest_resize(arr: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resize of a [H, W(, C)] map to (height, width) —
+    used to match auxiliary maps (refined depths, normal maps) to the
+    possibly-downsampled image resolution."""
+    if arr.shape[:2] == (height, width):
+        return arr
+    yi = (np.arange(height) * arr.shape[0] / height).astype(np.int64)
+    xi = (np.arange(width) * arr.shape[1] / width).astype(np.int64)
+    return arr[yi][:, xi]
+
+
 def _bilinear_remap(img: np.ndarray, map_x: np.ndarray, map_y: np.ndarray) -> np.ndarray:
     """Sample img at float coords (map_x, map_y) with bilinear interpolation."""
     H, W = img.shape[:2]
@@ -293,11 +304,7 @@ class Dataset:
                 nmap = _imread(png).astype(np.float32) / 255.0 * 2.0 - 1.0
             if nmap is not None:
                 H, W = data["image"].shape[:2]
-                if nmap.shape[:2] != (H, W):
-                    yi = (np.arange(H) * nmap.shape[0] / H).astype(np.int64)
-                    xi = (np.arange(W) * nmap.shape[1] / W).astype(np.int64)
-                    nmap = nmap[yi][:, xi]
-                data["normal"] = nmap
+                data["normal"] = _nearest_resize(nmap, H, W)
 
         if self.load_depths:
             # sparse COLMAP point depths (reference colmap.py:552-574)
@@ -330,16 +337,13 @@ class Dataset:
                 p.data_dir, "refined_depths", f"{stem}_refined_depth.npy"
             )
             if os.path.exists(dpath):
-                dmap = np.load(dpath).astype(np.float32)
+                # resized to the image resolution — the reference
+                # interpolates depth_map to render scale
+                # (simple_trainer.py:731-737)
                 H, W = data["image"].shape[:2]
-                if dmap.shape != (H, W):
-                    # nearest resize to the (possibly downsampled) image —
-                    # reference interpolates depth_map to render scale
-                    # (simple_trainer.py:731-737)
-                    yi = (np.arange(H) * dmap.shape[0] / H).astype(np.int64)
-                    xi = (np.arange(W) * dmap.shape[1] / W).astype(np.int64)
-                    dmap = dmap[yi][:, xi]
-                data["refined_depth"] = dmap
+                data["refined_depth"] = _nearest_resize(
+                    np.load(dpath).astype(np.float32), H, W
+                )
 
         if self.patch_size is not None:
             H, W = data["image"].shape[:2]

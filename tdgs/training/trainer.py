@@ -302,6 +302,23 @@ class Runner:
             print(f"live viewer at http://localhost:{cfg.viewer_port}")
 
     # ------------------------------------------------------------------
+    def _use_sharded(self, n_cameras: int) -> bool:
+        """Route a render through the multi-device exchange? True when a
+        mesh exists and the camera count divides over it (train batches);
+        C=1 eval/viewer renders fall back to the replicated path."""
+        return (
+            self.mesh is not None
+            and n_cameras % self.mesh.shape["gauss"] == 0
+        )
+
+    @staticmethod
+    def _inference_rasterizer() -> str:
+        """Fastest forward-only rasterizer for the current backend."""
+        return (
+            "packed_inference" if jax.default_backend() == "tpu" else "jax"
+        )
+
+    # ------------------------------------------------------------------
     def _shard_gauss(self, tree):
         """Lay a pytree out over the mesh: arrays with a per-gaussian
         leading dim (== capacity) shard on the "gauss" axis, everything
@@ -439,10 +456,7 @@ class Runner:
                 tile_capacity=cfg.tile_capacity,
                 isect_capacity=cfg.isect_capacity,
                 max_tiles_per_gauss=cfg.max_tiles_per_gauss,
-                rasterizer=(
-                    "packed_inference"
-                    if jax.default_backend() == "tpu" else "jax"
-                ),
+                rasterizer=self._inference_rasterizer(),
             )
             return out[0], out[1], out[6]
         if cfg.with_eval3d:
@@ -451,11 +465,7 @@ class Runner:
             # downstream); drop them here
             means2d_offset = None
             means2d_abs_tap = None
-        if (
-            self.mesh is not None
-            and viewmats.ndim == 3
-            and viewmats.shape[0] % self.mesh.shape["gauss"] == 0
-        ):
+        if viewmats.ndim == 3 and self._use_sharded(viewmats.shape[0]):
             # multi-device train-batch render: one shard_map doing
             # gather-cameras → project local shard → all_to_all →
             # rasterize local cameras (Config.sharded)
@@ -551,10 +561,7 @@ class Runner:
                     backgrounds=bkgd,
                     tile_capacity=cfg.tile_capacity,
                     isect_capacity=cfg.isect_capacity,
-                    rasterizer=(
-                        "packed_inference"
-                        if jax.default_backend() == "tpu" else "jax"
-                    ),
+                    rasterizer=self._inference_rasterizer(),
                 )
                 img, alpha = out[0], out[1]
                 if mode == "ED":
@@ -570,10 +577,7 @@ class Runner:
                     render_mode=mode,
                     with_eval3d=cfg.with_eval3d,
                     with_ut=cfg.with_ut,
-                    rasterizer=(
-                        "packed_inference" if jax.default_backend() == "tpu"
-                        else "jax"
-                    ),
+                    rasterizer=self._inference_rasterizer(),
                     tile_capacity=cfg.tile_capacity,
                     isect_capacity=cfg.isect_capacity,
                     backgrounds=bkgd,
@@ -649,11 +653,7 @@ class Runner:
                 raster_2dgs = (
                     "packed" if jax.default_backend() == "tpu" else "jax"
                 )
-                if (
-                    self.mesh is not None
-                    and batch_adj["viewmat"].shape[0]
-                    % self.mesh.shape["gauss"] == 0
-                ):
+                if self._use_sharded(batch_adj["viewmat"].shape[0]):
                     # multi-device surfel training (Config.sharded): same
                     # exchange as the 3DGS path, surfel features shipped
                     from tdgs.parallel import rasterization_2dgs_sharded
@@ -1240,6 +1240,10 @@ class Runner:
     def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
         cfg = self.cfg
         metrics = defaultdict(list)
+        from tdgs.training.metrics import lpips
+
+        if cfg.use_bilateral_grid:
+            from tdgs.training.bilateral_grid import color_correct
         t0 = time.time()
         splats = self._replicated_splats()
         for i in range(len(self.valset)):
@@ -1261,14 +1265,10 @@ class Runner:
             gt = jnp.asarray(d["image"])
             metrics["psnr"].append(float(L.psnr(pred, gt)))
             metrics["ssim"].append(float(L.ssim(pred[None], gt[None])))
-            from tdgs.training.metrics import lpips
-
             metrics["lpips"].append(float(lpips(pred[None], gt[None])[0]))
             if cfg.use_bilateral_grid:
                 # color-corrected metrics: affine fit removes per-image
                 # exposure before scoring (reference eval :1351-1356)
-                from tdgs.training.bilateral_grid import color_correct
-
                 cc = jnp.clip(color_correct(pred, gt), 0.0, 1.0)
                 metrics["cc_psnr"].append(float(L.psnr(cc, gt)))
                 metrics["cc_ssim"].append(float(L.ssim(cc[None], gt[None])))
@@ -1277,18 +1277,16 @@ class Runner:
                 )
             if cfg.tb_save_image:
                 # reference tb_save_image: persist eval renders for
-                # inspection (saved as PNGs next to the stats JSONs)
-                from PIL import Image
+                # inspection (gt | pred side by side, next to the stats)
+                from tdgs.utils.viz import save_image
 
-                arr = np.concatenate(
-                    [np.asarray(gt), np.asarray(pred)], axis=1
-                )
-                Image.fromarray(
-                    (np.clip(arr, 0, 1) * 255).astype(np.uint8)
-                ).save(
+                save_image(
+                    np.concatenate(
+                        [np.asarray(gt), np.asarray(pred)], axis=1
+                    ),
                     os.path.join(
                         self.stats_dir, f"{stage}_step{step}_{i:04d}.png"
-                    )
+                    ),
                 )
         ellipse = (time.time() - t0) / max(len(self.valset), 1)
         out = {k: float(np.mean(v)) for k, v in metrics.items()}
