@@ -198,6 +198,14 @@ class Config:
     seg_loss_weight: float = 0.3
     seg_spatial_every: int = 500
     seg_spatial_weight: float = 0.1
+    # CGC hyperparameters (reference Config.cgc_* :215-219): minimum mask
+    # cluster size for the contrastive loss; kNN pull/push structure of
+    # the spatial regularizer
+    cgc_min_cluster: int = 30
+    cgc_k_near: int = 2
+    cgc_k_far: int = 5
+    cgc_lambda_near: float = 0.05
+    cgc_lambda_far: float = 0.15
 
     # live viewer (reference simple_trainer.py:690,1286 — the HTTP orbit
     # viewer attached to the training loop via a lock; default off for

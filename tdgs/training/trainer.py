@@ -880,7 +880,8 @@ class Runner:
                     seg = 0.0
                     for b in range(B):
                         seg = seg + cgc_contrastive_clustering_loss(
-                            feat_map[b], batch["instance_mask"][b]
+                            feat_map[b], batch["instance_mask"][b],
+                            min_cluster_size=cfg.cgc_min_cluster,
                         )
                     terms["segloss"] = cfg.seg_loss_weight * seg / B
                     loss = loss + terms["segloss"]
@@ -898,7 +899,10 @@ class Runner:
                 if use_spatial_reg:
                     terms["spatialreg"] = cfg.seg_spatial_weight * (
                         cgc_spatial_regularizer(
-                            feats, params["means"], k_spatial
+                            feats, params["means"], k_spatial,
+                            k_near=cfg.cgc_k_near, k_far=cfg.cgc_k_far,
+                            lambda_near=cfg.cgc_lambda_near,
+                            lambda_far=cfg.cgc_lambda_far,
                         )
                     )
                     loss = loss + terms["spatialreg"]
