@@ -191,6 +191,9 @@ class Config:
 
     # identity-vector segmentation (fork extension, simple_trainer.py:198-220)
     with_segmentation: bool = False
+    # load masks/instance_ids_npy/*_instance_id.npy (reference
+    # Config.load_instance_masks :210). None = follow with_segmentation
+    load_instance_masks: Optional[bool] = None
     identity_dim: int = 16
     identity_lr: float = 1.6e-3
     seg_start_iter: int = 1000

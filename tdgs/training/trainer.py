@@ -126,7 +126,11 @@ class Runner:
             factor=cfg.data_factor,
             normalize=cfg.normalize_world_space,
             test_every=cfg.test_every,
-            load_instance_masks=cfg.with_segmentation,
+            load_instance_masks=(
+                cfg.load_instance_masks
+                if cfg.load_instance_masks is not None
+                else cfg.with_segmentation
+            ),
             load_normals=cfg.load_normals,
         )
         self.trainset = Dataset(
