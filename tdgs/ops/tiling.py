@@ -163,6 +163,8 @@ def isect_tiles_packed(
     sort_stable: bool = False,
     exact: bool = False,
     exact_depth: bool = False,
+    split_k: Optional[int] = None,
+    big_capacity: Optional[int] = None,
 ) -> IsectPacked:
     """Fast-path tile intersection: one packed int32 key, no scatter.
 
@@ -189,6 +191,20 @@ def isect_tiles_packed(
     map for the positive camera-space depths that survive near-plane
     culling). Costs a 2-key sort; use where compositing order must match
     an exact-depth reference bit-for-bit (golden checks, heavy overdraw).
+
+    ``split_k`` (non-exact mode) enables the **two-population expansion**:
+    slots ``[0, split_k)`` are expanded densely for every gaussian, and
+    only gaussians covering more than ``split_k`` tiles are compacted
+    (``jnp.nonzero`` at static size ``big_capacity``, default G/4) and get
+    their ``[split_k, K)`` tail slots, producing the exact same (key, id)
+    multiset as the plain capped expansion. Big gaussians beyond
+    ``big_capacity`` lose their tail slots (counted in ``n_dropped``).
+    Measured caveat (v5e, 200k-gaussian 1080p bench): the pre-sort stream
+    does shrink 3.2M→1.7M, but the nonzero compaction + per-big gathers
+    cost MORE than the sort saving (48.7→45.1 fps), so this stays
+    **opt-in** — profitable only when the tail is far heavier than the
+    bench scene's (e.g. trained scenes with K≫16 footprints where the
+    dense expansion itself dominates).
 
     ``exact=True`` switches to the **exact-coverage** expansion — the
     reference's two-pass count/cumsum/write (IntersectTile.cu:95-113) done
@@ -324,48 +340,92 @@ def isect_tiles_packed(
         )
 
     tiles_capped = jnp.minimum(tiles_full, K)
-    k_idx = jnp.arange(K, dtype=jnp.int32)[None, None, :]
-    w_safe = jnp.maximum(w_g, 1)[..., None]
-    dy = k_idx // w_safe
-    dx = k_idx % w_safe
-    tile_id = (tile_mins[..., 1:2] + dy) * tile_width + tile_mins[..., 0:1] + dx
     img_ids = jnp.arange(I, dtype=jnp.int32)[:, None, None]
-    tile_key = img_ids * n_tiles + tile_id  # [I, N, K]
-    keys = (tile_key << depth_bits) | qdepth[..., None]
-    valid_k = k_idx < tiles_capped[..., None]
-    keys = jnp.where(valid_k, keys, INT32_SENTINEL)
-    fids = jnp.broadcast_to(
-        img_ids * N + jnp.arange(N, dtype=jnp.int32)[None, :, None], (I, N, K)
-    )
 
-    if exact_depth:
-        dep = jnp.broadcast_to(depth_i32[..., None], (I, N, K))
-        keys_s, _, fids_s = jax.lax.sort(
-            (keys.reshape(-1), dep.reshape(-1), fids.reshape(-1)),
-            num_keys=2, is_stable=sort_stable,
+    def expand(k_lo: int, k_hi: int):
+        """Dense (gaussian, k)-slot expansion for slots k_lo..k_hi."""
+        k_idx = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, None, :]
+        w_safe = jnp.maximum(w_g, 1)[..., None]
+        dy = k_idx // w_safe
+        dx = k_idx % w_safe
+        tile_id = (
+            (tile_mins[..., 1:2] + dy) * tile_width + tile_mins[..., 0:1] + dx
         )
+        keys = ((img_ids * n_tiles + tile_id) << depth_bits) | qdepth[..., None]
+        valid_k = k_idx < tiles_capped[..., None]
+        keys = jnp.where(valid_k, keys, INT32_SENTINEL)
+        fids = jnp.broadcast_to(
+            img_ids * N + jnp.arange(N, dtype=jnp.int32)[None, :, None],
+            (I, N, k_hi - k_lo),
+        )
+        return keys.reshape(-1), fids.reshape(-1)
+
+    if split_k is not None and 0 < split_k < K:
+        # ---- two-population expansion: the sort is the tiling stage's
+        # dominant cost and scales with N*K slots, but coverage is heavy-
+        # tailed (bench scene: 82% of gaussians fit in 6 tiles while K=16
+        # sizes for the outliers). Expand slots [0, split_k) densely for
+        # every gaussian, then COMPACT the few gaussians needing more and
+        # expand only their [split_k, K) tail — at bench scale the sorted
+        # stream shrinks 3.2M -> 1.7M entries.
+        K1 = split_k
+        G = I * N
+        if big_capacity is None:
+            big_capacity = G // 4
+        B = max(-(-big_capacity // 128) * 128, 128)
+        keys1, fids1 = expand(0, K1)
+
+        is_big = tiles_full.reshape(-1) > K1  # [G]
+        n_big = jnp.sum(is_big).astype(jnp.int32)
+        big_idx = jnp.nonzero(is_big, size=B, fill_value=G)[0].astype(jnp.int32)
+        valid_b = big_idx < G
+        bidx = jnp.minimum(big_idx, G - 1)
+        tmin_b = tile_mins.reshape(G, 2)[bidx]  # [B, 2]
+        w_b = jnp.maximum(w_g.reshape(-1)[bidx], 1)[:, None]
+        tc_b = tiles_capped.reshape(-1)[bidx]
+        q_b = qdepth.reshape(-1)[bidx]
+        img_b = bidx // N
+        k2 = jnp.arange(K1, K, dtype=jnp.int32)[None, :]  # [1, K-K1]
+        dy = k2 // w_b
+        dx = k2 % w_b
+        tile_id = (tmin_b[:, 1:2] + dy) * tile_width + tmin_b[:, 0:1] + dx
+        keys2 = ((img_b[:, None] * n_tiles + tile_id) << depth_bits) | q_b[:, None]
+        valid2 = valid_b[:, None] & (k2 < tc_b[:, None])
+        keys2 = jnp.where(valid2, keys2, INT32_SENTINEL)
+        fids2 = jnp.broadcast_to(bidx[:, None], keys2.shape)  # flat id == img*N+g
+
+        keys_flat = jnp.concatenate([keys1, keys2.reshape(-1)])
+        fids_flat = jnp.concatenate([fids1, fids2.reshape(-1)])
+        if exact_depth:
+            dep_flat = jnp.concatenate([
+                jnp.broadcast_to(depth_i32[..., None], (I, N, K1)).reshape(-1),
+                jnp.broadcast_to(
+                    depth_i32.reshape(-1)[bidx][:, None], keys2.shape
+                ).reshape(-1),
+            ])
+        # entries actually emitted (big gaussians beyond B lose their tail)
+        n_isects = (
+            jnp.sum(jnp.minimum(tiles_capped, K1))
+            + jnp.sum(jnp.where(valid_b, tc_b - K1, 0))
+        ).astype(jnp.int32)
+        n_dropped = (jnp.sum(tiles_full) - n_isects).astype(jnp.int32)
+    else:
+        keys_flat, fids_flat = expand(0, K)
+        if exact_depth:
+            dep_flat = jnp.broadcast_to(
+                depth_i32[..., None], (I, N, K)
+            ).reshape(-1)
         n_isects = jnp.sum(tiles_capped).astype(jnp.int32)
         n_dropped = jnp.sum(tiles_full - tiles_capped).astype(jnp.int32)
-        if capacity is not None and capacity < keys_s.shape[0]:
-            capacity = -(-capacity // 128) * 128
-            keys_s = keys_s[:capacity]
-            fids_s = fids_s[:capacity]
-            n_dropped = n_dropped + jnp.maximum(n_isects - capacity, 0)
-            n_isects = jnp.minimum(n_isects, capacity)
-        return IsectPacked(
-            isect_keys=keys_s,
-            flatten_ids=fids_s,
-            offsets=_packed_offsets(keys_s, I, n_tiles, depth_bits),
-            n_isects=n_isects,
-            n_dropped=n_dropped,
-            depth_bits=depth_bits,
-        )
 
-    keys_s, fids_s = jax.lax.sort(
-        (keys.reshape(-1), fids.reshape(-1)), num_keys=1, is_stable=sort_stable
-    )
-    n_isects = jnp.sum(tiles_capped).astype(jnp.int32)
-    n_dropped = jnp.sum(tiles_full - tiles_capped).astype(jnp.int32)
+    if exact_depth:
+        keys_s, _, fids_s = jax.lax.sort(
+            (keys_flat, dep_flat, fids_flat), num_keys=2, is_stable=sort_stable
+        )
+    else:
+        keys_s, fids_s = jax.lax.sort(
+            (keys_flat, fids_flat), num_keys=1, is_stable=sort_stable
+        )
 
     if capacity is not None and capacity < keys_s.shape[0]:
         # Static truncation of the sorted buffers: sentinel (invalid) slots

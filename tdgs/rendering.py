@@ -66,6 +66,8 @@ def rasterization(
     max_tiles_per_gauss: int = 32,
     isect_exact: bool = False,
     isect_exact_depth: bool = False,
+    isect_split_k: Optional[int] = None,
+    isect_big_capacity: Optional[int] = None,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
     means2d_abs_tap: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
@@ -306,6 +308,7 @@ def rasterization(
             max_tiles_per_gauss=max_tiles_per_gauss,
             capacity=isect_capacity, exact=isect_exact,
             exact_depth=isect_exact_depth,
+            split_k=isect_split_k, big_capacity=isect_big_capacity,
         )
         meta.update(
             {
@@ -379,6 +382,7 @@ def rasterization(
             max_tiles_per_gauss=max_tiles_per_gauss,
             capacity=isect_capacity, exact=isect_exact,
             exact_depth=isect_exact_depth,
+            split_k=isect_split_k, big_capacity=isect_big_capacity,
         )
         meta.update(
             {
@@ -600,6 +604,8 @@ def rasterization_2dgs(
     max_tiles_per_gauss: int = 32,
     isect_exact: bool = False,
     isect_exact_depth: bool = False,
+    isect_split_k: Optional[int] = None,
+    isect_big_capacity: Optional[int] = None,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
     # --- reference drop-in kwargs (gsplat/rendering.py:1270 argument set) ---
@@ -711,6 +717,7 @@ def rasterization_2dgs(
             tile_height, max_tiles_per_gauss=max_tiles_per_gauss,
             capacity=isect_capacity, exact=isect_exact,
             exact_depth=isect_exact_depth,
+            split_k=isect_split_k, big_capacity=isect_big_capacity,
         )
         if rasterizer == "packed":
             (render_colors, render_alphas, render_normals_cam,

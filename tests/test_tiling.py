@@ -239,3 +239,92 @@ def test_isect_tiles_packed_exact_depth_order():
         for k in np.unique(keys):
             dk = d[keys == k]
             assert (np.diff(dk) >= 0).all(), (exact, k, dk)
+
+
+def test_isect_tiles_packed_split_matches_plain():
+    """The two-population expansion (split_k) must produce the exact same
+    sorted (key, fid) multiset as the plain capped expansion."""
+    rng = np.random.default_rng(33)
+    means2d, radii, depths, tw, th = make_projected(rng, I=2, N=96)
+    tile_size = 16
+
+    plain = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        tile_size, tw, th, max_tiles_per_gauss=16, capacity=4096,
+    )
+    for big_cap in (256, None):  # generous and default (G/4, rounds to 128)
+        split = tiling.isect_tiles_packed(
+            jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+            tile_size, tw, th, max_tiles_per_gauss=16, capacity=4096,
+            split_k=3, big_capacity=big_cap,
+        )
+        n = int(plain.n_isects)
+        assert int(split.n_isects) == n
+        assert int(split.n_dropped) == int(plain.n_dropped)
+        a = np.stack([np.asarray(plain.isect_keys)[:n],
+                      np.asarray(plain.flatten_ids)[:n]], -1)
+        b = np.stack([np.asarray(split.isect_keys)[:n],
+                      np.asarray(split.flatten_ids)[:n]], -1)
+        a = a[np.lexsort((a[:, 1], a[:, 0]))]
+        b = b[np.lexsort((b[:, 1], b[:, 0]))]
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(
+            np.asarray(plain.offsets), np.asarray(split.offsets))
+
+
+def test_isect_tiles_packed_split_big_overflow_counts_drops():
+    """Big gaussians beyond big_capacity lose their tail tiles, and the
+    loss is reported in n_dropped."""
+    rng = np.random.default_rng(34)
+    n = 200  # > the 128-rounded big_capacity floor, so 72 lose their tail
+    means2d = rng.uniform(10, 50, size=(1, n, 2)).astype(np.float32)
+    radii = np.full((1, n, 2), 20, np.int32)  # everyone covers many tiles
+    depths = rng.uniform(0.5, 5.0, size=(1, n)).astype(np.float32)
+    tw = th = 4
+    kw = dict(max_tiles_per_gauss=16, capacity=8192)
+    plain = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        16, tw, th, **kw)
+    split = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        16, tw, th, split_k=2, big_capacity=1, **kw)  # B rounds up to 128
+    # numpy replica of the (clipped, K-capped) per-gaussian tile counts
+    tmin = np.clip(np.floor((means2d[0] - 20) / 16).astype(int), 0, [tw, th])
+    tmax = np.clip(np.ceil((means2d[0] + 20) / 16).astype(int), 0, [tw, th])
+    tiles = np.minimum(
+        (tmax[:, 0] - tmin[:, 0]) * (tmax[:, 1] - tmin[:, 1]), 16)
+    big = tiles > 2  # the first 128 big ones keep their tail, the rest lose it
+    kept = np.where(big, np.where(np.cumsum(big) <= 128, tiles, 2), tiles)
+    assert int(plain.n_isects) == tiles.sum() and int(plain.n_dropped) == 0
+    assert big.sum() > 128  # the overflow case is actually exercised
+    assert int(split.n_isects) == kept.sum()
+    assert int(split.n_dropped) == tiles.sum() - kept.sum() > 0
+    # the emitted entries are a subset of the plain ones
+    a = {(int(k), int(f)) for k, f in zip(
+        np.asarray(plain.isect_keys)[: int(plain.n_isects)],
+        np.asarray(plain.flatten_ids)[: int(plain.n_isects)])}
+    b = [(int(k), int(f)) for k, f in zip(
+        np.asarray(split.isect_keys)[: int(split.n_isects)],
+        np.asarray(split.flatten_ids)[: int(split.n_isects)])]
+    assert set(b) <= a and len(b) == int(split.n_isects)
+
+
+def test_isect_tiles_packed_split_exact_depth():
+    """split_k composes with exact_depth (full-f32 in-tile depth order)."""
+    rng = np.random.default_rng(35)
+    means2d, radii, depths, tw, th = make_projected(rng, I=1, N=80)
+    a = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        16, tw, th, max_tiles_per_gauss=16, capacity=4096, exact_depth=True,
+    )
+    b = tiling.isect_tiles_packed(
+        jnp.asarray(means2d), jnp.asarray(radii), jnp.asarray(depths),
+        16, tw, th, max_tiles_per_gauss=16, capacity=4096, exact_depth=True,
+        split_k=4,
+    )
+    n = int(a.n_isects)
+    assert int(b.n_isects) == n
+    np.testing.assert_array_equal(
+        np.asarray(a.isect_keys)[:n], np.asarray(b.isect_keys)[:n])
+    np.testing.assert_array_equal(
+        np.asarray(a.flatten_ids)[:n], np.asarray(b.flatten_ids)[:n])
