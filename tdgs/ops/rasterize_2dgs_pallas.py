@@ -387,8 +387,14 @@ def rasterize_to_pixels_2dgs_packed(
     capacity += pad
     entry_valid = jnp.arange(capacity, dtype=jnp.int32) < offsets[-1]
     ids = jnp.where(entry_valid, ids, 0)
+    # The gather's VJP is the payload-sort + streaming segment-sum route
+    # (tdgs/ops/segment_sum_pallas.py), not XLA's scatter-add; all 12+DA
+    # real columns carry gradients (normals included), only the F_pad
+    # tail is structurally zero.
+    from tdgs.ops.segment_sum_pallas import gather_rows_segsum
+
     feats = jax.lax.optimization_barrier(feats)
-    rows = feats[ids]  # flat row gather; VJP = deterministic segment-sum
+    rows = gather_rows_segsum(feats, ids, 12 + DA)
     packed = jax.lax.optimization_barrier(rows).T
     # zero padding slots' opacity AFTER the transpose (single-row update)
     packed = packed.at[11:12, :].multiply(

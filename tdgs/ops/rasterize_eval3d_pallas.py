@@ -389,8 +389,15 @@ def rasterize_to_pixels_eval3d_packed(
     capacity = flatten_ids.shape[0]
     pad = (-capacity) % CHUNK + CHUNK  # slack so the last window DMA fits
     flatten_ids = jnp.pad(flatten_ids, (0, pad))
+    # gather VJP = payload-sort + streaming segment-sum (see
+    # tdgs/ops/segment_sum_pallas.py); live columns = w(3) mAm(1)
+    # prec6(6) opacity(1) colors(D)
+    from tdgs.ops.segment_sum_pallas import gather_rows_segsum
+
     feats = jax.lax.optimization_barrier(feats)
-    packed = jax.lax.optimization_barrier(feats[flatten_ids]).T
+    packed = jax.lax.optimization_barrier(
+        gather_rows_segsum(feats, flatten_ids, 11 + D)
+    ).T
 
     # matches _tile_rays_world's use_rs: central cameras with a global
     # shutter have o' ≡ 0, which statically removes 3 of the 5 HIGHEST

@@ -160,8 +160,15 @@ def rasterize_to_pixels_packed(
     # Materialize feats before gathering: fusing the feature computation
     # into the gather destroys its row-contiguous access pattern. Gather
     # contiguous 64B rows, then transpose (a bandwidth-bound relayout).
+    # The gather's VJP is NOT the default scatter-add (16.5 ms/step at
+    # 1080p): gather_rows_segsum sorts the per-entry grads by gaussian id
+    # (payload-carrying sort) and segment-sums them with a streaming
+    # Pallas kernel (tdgs/ops/segment_sum_pallas.py). Only the 6+D live
+    # columns ride the sort — the F_pad tail is structurally zero.
+    from tdgs.ops.segment_sum_pallas import gather_rows_segsum
+
     feats = jax.lax.optimization_barrier(feats)
-    rows = feats[ids]  # [capacity, F] — flat row gather (cheap)
+    rows = gather_rows_segsum(feats, ids, 6 + D)  # [capacity, F]
     if absgrad_dummy is not None:
         from tdgs.ops.rasterize_jax import absgrad_tap
 
