@@ -36,6 +36,7 @@ from tdgs.ops.rasterize_jax import ALPHA_CLAMP, TRANSMITTANCE_EPS
 from tdgs.ops.rasterize_pallas_packed import (
     CHUNK,
     _pixel_coords,
+    _pixel_moment_basis,
     _tri_upper_incl,
     _use_interpret,
 )
@@ -526,25 +527,24 @@ def _fwd_kernel_2dgs_train(
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+            # [1, P] lane reductions ride ONE MXU ones-contraction (see
+            # the 3DGS kernel's logeff): logeff always, the distortion
+            # term stacked on extra sublane rows when active
+            reds = jnp.where(included, logs, 0.0)  # [P, G]
+            P_px = reds.shape[0]
             if depth_row >= 0:
                 d = ch[depth_row : depth_row + 1, :]
                 wd = w * d
                 if compute_distort:
-                    Ax = (
-                        jnp.dot(w, tri_x, preferred_element_type=jnp.float32)
-                        + aprev_ref[:, 0:1]
-                    )
-                    Bx = (
-                        jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
-                        + bprev_ref[:, 0:1]
-                    )
-                    # [1, P] accumulator: lane reduction via a [1,G]x[P,G]
-                    # MXU ones-contraction (see the 3DGS kernel's logeff)
-                    dist_ref[:, :] += jax.lax.dot_general(
-                        jnp.ones((1, CHUNK), jnp.float32),
-                        2.0 * w * (d * Ax - Bx),
-                        dimension_numbers=(((1,), (1,)), ((), ())),
+                    # one [2P, G] strict-prefix matmul for both sums
+                    AB = jnp.dot(
+                        jnp.concatenate([w, wd], axis=0), tri_x,
                         preferred_element_type=jnp.float32,
+                    )
+                    Ax = AB[:P_px] + aprev_ref[:, 0:1]
+                    Bx = AB[P_px:] + bprev_ref[:, 0:1]
+                    reds = jnp.concatenate(
+                        [reds, 2.0 * w * (d * Ax - Bx)], axis=0
                     )
                     aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
                     bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
@@ -557,12 +557,15 @@ def _fwd_kernel_2dgs_train(
                 )
                 med_ref[:, :] = jnp.where(idx >= 0, dmed, med_ref[:, :])
             lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
-            logeff_ref[:, :] += jax.lax.dot_general(
+            red_out = jax.lax.dot_general(
                 jnp.ones((1, CHUNK), jnp.float32),
-                jnp.where(included, logs, 0.0),
+                reds,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )  # [1, P] or [1, 2P]
+            logeff_ref[:, :] += red_out[:, :P_px]
+            if depth_row >= 0 and compute_distort:
+                dist_ref[:, :] += red_out[:, P_px:]
 
         return ()
 
@@ -713,14 +716,15 @@ def _bwd_kernel_2dgs_unaligned(
         if compute_distort and depth_row >= 0:
             d = ch[depth_row : depth_row + 1, :]
             wd = w * d
-            Ax = (
-                jnp.dot(w, tri_x, preferred_element_type=jnp.float32)
-                + aprev_ref[:, 0:1]
+            # one [2P, G] strict-prefix matmul for both running sums
+            # (separate [P, G] tri matmuls pay the MXU fill twice)
+            P_px = w.shape[0]
+            AB = jnp.dot(
+                jnp.concatenate([w, wd], axis=0), tri_x,
+                preferred_element_type=jnp.float32,
             )
-            Bx = (
-                jnp.dot(wd, tri_x, preferred_element_type=jnp.float32)
-                + bprev_ref[:, 0:1]
-            )
+            Ax = AB[:P_px] + aprev_ref[:, 0:1]
+            Bx = AB[P_px:] + bprev_ref[:, 0:1]
             vd = vd_col
             r_dist = 2.0 * (d * Ax - Bx) + 2.0 * (
                 (btot_col - Bx - wd) - d * (a_tot - Ax - w)
@@ -748,20 +752,46 @@ def _bwd_kernel_2dgs_unaligned(
         v_s3 = jnp.where(use3d, v_sigma, 0.0)
         v_s2 = jnp.where(use3d, 0.0, v_sigma)
 
+        # All 12 geometry/opacity row-reductions collapse into ONE MXU
+        # moment matmul against the [1, pxl, pyl] tile-local basis (the
+        # 3DGS kernel's pixel-moment trick, _bwd_chunk_grads): every
+        # needed row is a moment of one of five per-(pixel, entry)
+        # fields. Tile-local coordinates keep the basis representable in
+        # the MXU's bf16 passes (global px would round at 2^-8).
         rtz2 = rtz * rtz
         v_tmpx = v_s3 * tmpx * rtz2
         v_tmpy = v_s3 * tmpy * rtz2
         v_tmpz = -v_s3 * sigma3d * rtz
+        fields = jnp.concatenate(
+            [v_tmpx, v_tmpy, v_tmpz, v_s2, v_op], axis=1
+        )  # [P, 5G]
+        basis3 = _pixel_moment_basis(tile_size)[0:3]  # [3, P]
+        mom = jax.lax.dot_general(
+            basis3, fields,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [3, 5G]: rows (Σ·1, Σ·pxl, Σ·pyl) per field
+        t_in_img = t % tiles_per_image
+        tx0 = ((t_in_img % tile_width) * tile_size).astype(jnp.float32)
+        ty0 = ((t_in_img // tile_width) * tile_size).astype(jnp.float32)
+
+        def mrow(i, f):  # moment i of field f, [1, G]
+            return mom[i : i + 1, f * CHUNK : (f + 1) * CHUNK]
+
+        mx = window[0:1, :]
+        my = window[1:2, :]
         rows = []
-        rows.append(jnp.sum(v_s2 * 2.0 * dx, axis=0, keepdims=True))
-        rows.append(jnp.sum(v_s2 * 2.0 * dy, axis=0, keepdims=True))
-        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_t0
-            rows.append(jnp.sum(v_t, axis=0, keepdims=True))
-        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_tpx
-            rows.append(jnp.sum(v_t * px, axis=0, keepdims=True))
-        for v_t in (v_tmpx, v_tmpy, v_tmpz):  # g_tpy
-            rows.append(jnp.sum(v_t * py, axis=0, keepdims=True))
-        rows.append(jnp.sum(v_op, axis=0, keepdims=True))  # g_op
+        # g_mx = Σ 2 v_s2 (mx − px) = 2((mx − tx0)·m0 − m_pxl)
+        rows.append(2.0 * ((mx - tx0) * mrow(0, 3) - mrow(1, 3)))
+        rows.append(2.0 * ((my - ty0) * mrow(0, 3) - mrow(2, 3)))
+        # NB do not rebind `k` here — it is the fori_loop induction var
+        for f in range(3):  # g_t0 = Σ v_tmp
+            rows.append(mrow(0, f))
+        for f in range(3):  # g_tpx = Σ v_tmp·px = tx0·m0 + m_pxl
+            rows.append(tx0 * mrow(0, f) + mrow(1, f))
+        for f in range(3):  # g_tpy
+            rows.append(ty0 * mrow(0, f) + mrow(2, f))
+        rows.append(mrow(0, 4))  # g_op = Σ v_op
         g_ch = jnp.dot(
             vch_ref[:, :], w, preferred_element_type=jnp.float32
         )  # [DA, G]

@@ -60,6 +60,20 @@ from tdgs.ops.transforms import (
     rotmat_to_quat,
 )
 
+# MXU precision for the σ*-chain contractions. σ* = ½(gg − gr²/rr) cancels
+# ~1e4-magnitude quadratic forms to O(1): a single bf16 pass (DEFAULT, ~1%
+# error) corrupts α entirely (measured; see "Numerics on TPU" in README).
+# bf16x3 (HIGH) carries ~21 mantissa bits — grad parity holds (fd probe +
+# f64 golden) and it halves the MXU passes vs bf16x6 (HIGHEST). Env
+# override for A/B: TDGS_EVAL3D_MM_PRECISION=highest.
+import os as _os
+
+_MM_PRECISION = (
+    jax.lax.Precision.HIGHEST
+    if _os.environ.get("TDGS_EVAL3D_MM_PRECISION", "high") == "highest"
+    else jax.lax.Precision.HIGH
+)
+
 
 def _sym6_rows(a, b):
     """[6, P] symmetric-product rows of a, b [3, P], ordered to contract
@@ -152,7 +166,7 @@ def _fwd_kernel_eval3d_unaligned(
             lhs_rows, rhs_rows,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )
 
     def body(k, _):
@@ -556,7 +570,7 @@ def _bwd_kernel_eval3d_unaligned(
             lhs_rows, rhs_rows,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )
 
     # HIGHEST on the gradient contractions is load-bearing, not hygiene:
@@ -571,7 +585,7 @@ def _bwd_kernel_eval3d_unaligned(
             lhs_rows, v_pg,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )
 
     def mmg(ent_rows, v_pg):
@@ -580,7 +594,7 @@ def _bwd_kernel_eval3d_unaligned(
             ent_rows, v_pg,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=_MM_PRECISION,
         )
 
     def body(k, _):

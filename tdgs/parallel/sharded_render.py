@@ -74,6 +74,9 @@ def rasterization_sharded(
     max_tiles_per_gauss: int = 32,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [C, N, 2] gauss-sharded
+    means2d_abs_tap: Optional[jnp.ndarray] = None,  # [C, N, 2] gauss-sharded
+    camera_model: str = "pinhole",
+    with_ut: bool = False,
     batch_axis: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """Collaboratively render C cameras from N gaussians sharded over the mesh.
@@ -90,8 +93,21 @@ def rasterization_sharded(
     contract as single-device ``rasterization``): a zeros array [C, N, 2]
     sharded like the gaussians on axis 1, added to the projected means2d
     *before* the all_to_all so its gradient arrives gaussian-sharded on
-    each owner device. ``meta["radii"]`` carries the pre-exchange radii
-    [C, N, 2] for visibility masks (selective Adam / strategy state).
+    each owner device. ``means2d_abs_tap`` is the AbsGS |grad| tap (same
+    shape/sharding): its gradient accumulates |per-(gaussian, tile)| screen
+    gradients, exchanged back through the all_to_all transpose to each
+    gaussian's owner — supported by the "packed" and "jax" rasterizers,
+    exactly like single-device. ``meta["radii"]`` carries the pre-exchange
+    radii [C, N, 2] for visibility masks (selective Adam / strategy state)
+    and ``meta["means2d"]`` the pre-exchange projected centers [C, N, 2]
+    (differentiable — the normal-supervision losses sample maps at them).
+
+    ``colors`` may also be per-camera features [C, N, D] (``sh_degree``
+    None), camera axis replicated-per-column and gaussian axis sharded —
+    the appearance-MLP path: each device computes colors for its local
+    gaussians against every camera, and the exchange ships them like SH
+    colors (reference simple_trainer.py:585-593 + rendering.py:530-611,
+    where app_opt trains under DDP with no feature carve-out).
 
     ``batch_axis`` names an optional second mesh axis for a 2-D
     (data-parallel x gaussian-sharded) layout: cameras split over
@@ -118,6 +134,13 @@ def rasterization_sharded(
 
     has_bkgd = backgrounds is not None
     has_offset = means2d_offset is not None
+    has_abs_tap = means2d_abs_tap is not None
+    colors_per_cam = sh_degree is None and colors.ndim == 3
+    if has_abs_tap:
+        assert rasterizer in ("packed", "jax"), (
+            "means2d_abs_tap is supported by the 'jax' and 'packed' "
+            "rasterizers (differentiable paths)"
+        )
 
     def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
                  *extras):
@@ -125,6 +148,7 @@ def rasterization_sharded(
         extras = list(extras)
         bkgd_in = extras.pop(0) if has_bkgd else None
         offset_in = extras.pop(0) if has_offset else None  # [C, n, 2]
+        abs_tap_in = extras.pop(0) if has_abs_tap else None  # [C, n, 2]
         n = means.shape[0]
         # (1) gather this batch column's cameras (reference
         # rendering.py:366-381); with batch_axis the gather stays inside
@@ -139,6 +163,7 @@ def rasterization_sharded(
             eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
             radius_clip=radius_clip, opacities=opacities,
             calc_compensations=calc_compensations,
+            camera_model=camera_model,
         )  # [C, n, ...]
         if offset_in is not None:
             # densification tap: grads w.r.t. it = screen-space means2d
@@ -146,7 +171,9 @@ def rasterization_sharded(
             means2d = means2d + offset_in
 
         # (3) colors for the column's cameras
-        if sh_degree is None:
+        if colors_per_cam:
+            cols = colors  # [c_all, n, D] appearance-MLP per-camera colors
+        elif sh_degree is None:
             cols = jnp.broadcast_to(colors[None], (c_all,) + colors.shape)
         else:
             campos = jnp.linalg.inv(viewmats_all)[:, :3, 3]
@@ -171,6 +198,7 @@ def rasterization_sharded(
         depths_l = a2a(depths)
         conics_l = a2a(conics)
         opac_l = a2a(opac)
+        abs_tap_l = None if abs_tap_in is None else a2a(abs_tap_in)
         if depth_only:
             # D/ED: the depth IS the single channel — skip the color exchange
             cols_l = depths_l[..., None]
@@ -216,10 +244,15 @@ def rasterization_sharded(
                 if rasterizer == "packed_inference"
                 else rasterize_to_pixels_packed
             )
+            extra_kw = {}
+            if abs_tap_l is not None:
+                c_loc = radii_l.shape[0]
+                extra_kw["absgrad_dummy"] = abs_tap_l.reshape(c_loc * N, 2)
             img, alpha = raster_fn(
                 means2d_l, conics_l, cols_l, opac_l, width, height,
                 tile_size, isect.offsets, isect.flatten_ids,
                 backgrounds=bkgd, tile_capacity=tile_capacity,
+                **extra_kw,
             )
         else:
             isect = isect_tiles(
@@ -239,19 +272,25 @@ def rasterization_sharded(
                 raster_fn = rasterize_to_pixels_pallas
             else:
                 raster_fn = rasterize_to_pixels_jax
+            extra_kw = {}
+            if abs_tap_l is not None:
+                c_loc = radii_l.shape[0]
+                extra_kw["absgrad_dummy"] = abs_tap_l.reshape(c_loc * N, 2)
             img, alpha = raster_fn(
                 means2d_l, conics_l, cols_l, opac_l, width, height,
                 tile_size, offsets, isect.flatten_ids, isect.n_isects,
                 backgrounds=bkgd, tile_capacity=tile_capacity,
+                **extra_kw,
             )
         if render_mode in ("ED", "RGB+ED"):
             img = jnp.concatenate(
                 [img[..., :-1],
                  img[..., -1:] / jnp.maximum(alpha, 1e-10)], axis=-1,
             )
-        # n_dropped: [1] per device → [D]; radii pre-exchange: [C, n] local
-        # → [C, N] global (gaussian axis restored by the out_spec concat)
-        return img, alpha, isect.n_dropped[None], radii
+        # n_dropped: [1] per device → [D]; radii/means2d pre-exchange:
+        # [C, n] local → [C, N] global (gaussian axis restored by the
+        # out_spec concat)
+        return img, alpha, isect.n_dropped[None], radii, means2d
 
     cam_spec = (
         P((batch_axis, axis_name)) if batch_axis is not None
@@ -262,7 +301,8 @@ def rasterization_sharded(
         P(batch_axis, axis_name) if batch_axis is not None
         else P(None, axis_name)
     )
-    in_specs = [gauss_spec] * 5 + [cam_spec, cam_spec]
+    in_specs = [gauss_spec] * 4 + [tap_spec if colors_per_cam else gauss_spec]
+    in_specs += [cam_spec, cam_spec]
     args = [means, quats, scales, opacities, colors, viewmats, Ks]
     if has_bkgd:
         in_specs.append(cam_spec)
@@ -270,17 +310,20 @@ def rasterization_sharded(
     if has_offset:
         in_specs.append(tap_spec)
         args.append(means2d_offset)
+    if has_abs_tap:
+        in_specs.append(tap_spec)
+        args.append(means2d_abs_tap)
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=(cam_spec, cam_spec, cam_spec, tap_spec),
+        out_specs=(cam_spec, cam_spec, cam_spec, tap_spec, tap_spec),
         check_vma=False,
     )
-    img, alpha, n_dropped, radii = shard(*args)
+    img, alpha, n_dropped, radii, means2d_out = shard(*args)
     meta = {
         "n_dropped": n_dropped, "width": width, "height": height,
-        "radii": radii,
+        "radii": radii, "means2d": means2d_out,
     }
     return img, alpha, meta
 
@@ -445,7 +488,8 @@ def rasterization_2dgs_sharded(
                 [img[..., :-1],
                  img[..., -1:] / jnp.maximum(alpha, 1e-10)], axis=-1,
             )
-        return img, alpha, nrm, dist, med, isect.n_dropped[None], radii
+        return (img, alpha, nrm, dist, med, isect.n_dropped[None], radii,
+                means2d)
 
     in_specs = [P(axis_name)] * 7
     args = [means, quats, scales, opacities, colors, viewmats, Ks]
@@ -459,13 +503,14 @@ def rasterization_2dgs_sharded(
         local_fn,
         mesh=mesh,
         in_specs=tuple(in_specs),
-        out_specs=tuple([P(axis_name)] * 6) + (P(None, axis_name),),
+        out_specs=tuple([P(axis_name)] * 6)
+        + (P(None, axis_name), P(None, axis_name)),
         check_vma=False,
     )
-    img, alpha, nrm, dist, med, n_dropped, radii = shard(*args)
+    img, alpha, nrm, dist, med, n_dropped, radii, means2d_out = shard(*args)
     meta = {
         "n_dropped": n_dropped, "width": width, "height": height,
-        "radii": radii,
+        "radii": radii, "means2d": means2d_out,
     }
     return img, alpha, nrm, dist, med, meta
 
@@ -493,17 +538,33 @@ def rasterization_eval3d_sharded(
     isect_capacity: Optional[int] = None,
     tile_capacity: int = 512,
     max_tiles_per_gauss: int = 32,
+    with_ut: bool = False,
+    radial_coeffs: Optional[jnp.ndarray] = None,  # [C, 6|4] camera-sharded
+    tangential_coeffs: Optional[jnp.ndarray] = None,  # [C, 2]
+    thin_prism_coeffs: Optional[jnp.ndarray] = None,  # [C, 4]
+    ftheta_coeffs=None,  # FThetaCameraDistortionParameters (static)
+    rolling_shutter=None,  # RollingShutterType
+    viewmats_rs: Optional[jnp.ndarray] = None,  # [C, 4, 4] camera-sharded
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """World-space (eval3d / 3DGUT) sharded rendering — the multi-device
-    counterpart of ``rasterization(..., rasterizer="eval3d_packed")`` for
-    central cameras with a global shutter.
+    counterpart of ``rasterization(..., rasterizer="eval3d_packed")``.
+
+    Supports every central camera model of the single-device path
+    (pinhole / OpenCV-distorted pinhole / fisheye / FTheta) plus the four
+    rolling-shutter modes — the reference's distributed mode has no camera
+    carve-outs (gsplat/rendering.py:366-611) and neither does this one.
+    Screen-space tile bounds come from the UT projection when distortion /
+    rolling shutter is in play (``with_ut`` or any coeffs given), with the
+    per-camera distortion arrays gathered alongside viewmats/Ks; per-tile
+    world rays are built locally per camera after the exchange, so ray
+    distortion needs no collective at all.
 
     The exchange ships the per-(camera, gaussian) world-space response
     features (w = Σ⁻¹μ', |μ'|²_Σ, the 6 precision components, opacity,
-    SH-evaluated colors) instead of 2D conics; per-tile world rays are
-    built locally per camera after the exchange. Differentiable w.r.t.
+    SH-evaluated colors) instead of 2D conics. Differentiable w.r.t.
     all gaussian inputs and the camera poses (pose-opt), exactly like
-    the single-device path."""
+    the single-device path. ``colors`` may be per-camera features
+    [C, N, D] (appearance MLP), gaussian axis sharded."""
     import math as _math
 
     from tdgs.ops.camera_models import RollingShutterType
@@ -518,26 +579,73 @@ def rasterization_eval3d_sharded(
     C = viewmats.shape[0]
     N = means.shape[0]
     assert C % D_mesh == 0, f"cameras {C} must divide over {D_mesh} devices"
-    assert camera_model == "pinhole", (
-        "sharded eval3d currently supports central pinhole cameras"
+    if rolling_shutter is None:
+        rolling_shutter = RollingShutterType.GLOBAL
+    use_rs = (
+        viewmats_rs is not None
+        and rolling_shutter != RollingShutterType.GLOBAL
     )
+    use_ut = (
+        with_ut
+        or camera_model != "pinhole"
+        or use_rs
+        or any(
+            c is not None
+            for c in (radial_coeffs, tangential_coeffs, thin_prism_coeffs)
+        )
+    )
+    colors_per_cam = sh_degree is None and colors.ndim == 3
     tile_width = _math.ceil(width / tile_size)
     tile_height = _math.ceil(height / tile_size)
 
     def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
-                 *maybe_bkgd):
+                 *extras):
+        extras = list(extras)
+        radial_in = extras.pop(0) if radial_coeffs is not None else None
+        tangential_in = (
+            extras.pop(0) if tangential_coeffs is not None else None
+        )
+        thin_prism_in = (
+            extras.pop(0) if thin_prism_coeffs is not None else None
+        )
+        vm_rs_in = extras.pop(0) if viewmats_rs is not None else None
+        bkgd_in = extras.pop(0) if backgrounds is not None else None
         n = means.shape[0]
         viewmats_all = comm.all_gather(viewmats, axis_name)
         Ks_all = comm.all_gather(Ks, axis_name)
 
-        # screen-space projection of the local shard for tiling only
-        radii, means2d, depths, _conics, _ = fully_fused_projection(
-            means, quats, scales, viewmats_all, Ks_all, width, height,
-            eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
-            radius_clip=radius_clip, opacities=opacities,
-        )  # [C, n, ...]
+        def gather_opt(x):
+            return None if x is None else comm.all_gather(x, axis_name)
 
-        if sh_degree is None:
+        # screen-space projection of the local shard for tiling only —
+        # UT projection when the camera model bends rays (3DGUT)
+        if use_ut:
+            from tdgs.ops.projection_ut import fully_fused_projection_with_ut
+
+            radii, means2d, depths, _conics, _ = (
+                fully_fused_projection_with_ut(
+                    means, quats, scales, opacities, viewmats_all, Ks_all,
+                    width, height, eps2d=eps2d, near_plane=near_plane,
+                    far_plane=far_plane, radius_clip=radius_clip,
+                    camera_model=camera_model,
+                    radial_coeffs=gather_opt(radial_in),
+                    tangential_coeffs=gather_opt(tangential_in),
+                    thin_prism_coeffs=gather_opt(thin_prism_in),
+                    ftheta_coeffs=ftheta_coeffs,
+                    rolling_shutter=rolling_shutter,
+                    viewmats_rs=gather_opt(vm_rs_in),
+                )
+            )  # [C, n, ...]
+        else:
+            radii, means2d, depths, _conics, _ = fully_fused_projection(
+                means, quats, scales, viewmats_all, Ks_all, width, height,
+                eps2d=eps2d, near_plane=near_plane, far_plane=far_plane,
+                radius_clip=radius_clip, opacities=opacities,
+            )  # [C, n, ...]
+
+        if colors_per_cam:
+            cols = colors  # [C, n, D] appearance-MLP per-camera colors
+        elif sh_degree is None:
             cols = jnp.broadcast_to(colors[None], (C,) + colors.shape)
         else:
             campos = jnp.linalg.inv(viewmats_all)[:, :3, 3]
@@ -589,11 +697,12 @@ def rasterization_eval3d_sharded(
         T_local = c_local * tile_width * tile_height
         P_px = tile_size * tile_size
 
-        # per-tile world rays for the LOCAL cameras (global shutter)
+        # per-tile world rays for the LOCAL cameras — distortion bends the
+        # rays locally (no collective); rolling shutter interpolates poses
         d, o_prime, _, _ = _tile_rays_world(
             c_local, tile_width, tile_height, tile_size, width, height,
-            viewmats, Ks, camera_model, None, None, None, None,
-            RollingShutterType.GLOBAL, None,
+            viewmats, Ks, camera_model, radial_in, tangential_in,
+            thin_prism_in, ftheta_coeffs, rolling_shutter, vm_rs_in,
         )
         rays = jnp.concatenate(
             [
@@ -621,9 +730,11 @@ def rasterization_eval3d_sharded(
         )
         packed = jax.lax.optimization_barrier(feats_f[flatten_ids]).T
 
+        # central cameras with a global shutter have o' ≡ 0, statically
+        # removing most HIGHEST MXU contractions (see single-device path)
         colors_out, trans_out = _raster_eval3d_core(
             packed, rays, isect.offsets, T_local,
-            max(tile_capacity // _CHUNK, 1), D_ch, P_px, True,
+            max(tile_capacity // _CHUNK, 1), D_ch, P_px, not use_rs,
         )
         pad_h = tile_height * tile_size
         pad_w = tile_width * tile_size
@@ -635,15 +746,23 @@ def rasterization_eval3d_sharded(
         ).transpose(0, 1, 3, 2, 4).reshape(c_local, pad_h, pad_w)
         img = img[:, :height, :width, :]
         alp = alp[:, :height, :width]
-        bkgd = maybe_bkgd[0] if maybe_bkgd else None
-        if bkgd is not None:
-            img = img + (1.0 - alp[..., None]) * bkgd.reshape(
+        if bkgd_in is not None:
+            img = img + (1.0 - alp[..., None]) * bkgd_in.reshape(
                 c_local, 1, 1, D_ch
             )
         return img, alp[..., None], isect.n_dropped[None], radii
 
-    in_specs = [P(axis_name)] * 7
+    in_specs = [P(axis_name)] * 4
+    in_specs.append(
+        P(None, axis_name) if colors_per_cam else P(axis_name)
+    )
+    in_specs += [P(axis_name), P(axis_name)]
     args = [means, quats, scales, opacities, colors, viewmats, Ks]
+    for cam_extra in (radial_coeffs, tangential_coeffs, thin_prism_coeffs,
+                      viewmats_rs):
+        if cam_extra is not None:
+            in_specs.append(P(axis_name))
+            args.append(cam_extra)
     if backgrounds is not None:
         in_specs.append(P(axis_name))
         args.append(backgrounds)

@@ -163,27 +163,7 @@ class Runner:
                 f"sharded: batch_size {cfg.batch_size} must divide over "
                 f"{n_dev} devices (each renders batch/D cameras)"
             )
-            assert not cfg.with_ut, (
-                "sharded + UT: the sharded eval3d exchange covers central "
-                "pinhole cameras (no distortion/rolling shutter)"
-            )
             assert cfg.model_type in ("3dgs", "2dgs"), cfg.model_type
-            assert not cfg.app_opt, (
-                "sharded + app_opt: per-camera colors are not exchanged"
-            )
-            assert cfg.camera_model == "pinhole", (
-                "sharded rendering covers the pinhole model"
-            )
-            if isinstance(cfg.strategy, DefaultStrategy):
-                assert not cfg.strategy.absgrad, (
-                    "sharded + absgrad: the |grad| tap is single-device "
-                    "only; densify on plain means2d grads"
-                )
-            assert not cfg.load_normals, (
-                "sharded + load_normals: the normal loss samples the map "
-                "at meta['means2d'], which the sharded render does not "
-                "return"
-            )
 
         key = jax.random.PRNGKey(cfg.seed)
         self.key, init_key, seg_key = jax.random.split(key, 3)
@@ -475,7 +455,6 @@ class Runner:
             # rasterize local cameras (Config.sharded)
             from tdgs.parallel import rasterization_sharded
 
-            assert means2d_abs_tap is None, "sharded: absgrad tap unsupported"
             if cfg.with_eval3d:
                 from tdgs.parallel import rasterization_eval3d_sharded
 
@@ -491,6 +470,8 @@ class Runner:
                     isect_capacity=cfg.isect_capacity,
                     max_tiles_per_gauss=cfg.max_tiles_per_gauss,
                     backgrounds=backgrounds,
+                    camera_model=cfg.camera_model,
+                    with_ut=cfg.with_ut,
                 )
             return rasterization_sharded(
                 means, quats, scales, opacities, colors, viewmats, Ks,
@@ -507,6 +488,8 @@ class Runner:
                 backgrounds=backgrounds,
                 render_mode=render_mode,
                 means2d_offset=means2d_offset,
+                means2d_abs_tap=means2d_abs_tap,
+                camera_model=cfg.camera_model,
             )
         return rasterization(
             means, quats, scales, opacities, colors, viewmats, Ks,
