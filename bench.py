@@ -92,6 +92,23 @@ def main():
     means, quats, scales, opacities, sh, viewmats, Ks = make_scene(N)
     use_pallas = jax.default_backend() == "tpu"
 
+    # Auto-derived from the scene's actual projected footprints (one jitted
+    # projection + tile-count pre-pass, 10% headroom, chunk-aligned) — the
+    # post-sort feature gather is ROW-COUNT bound (~2.5 ns/row regardless
+    # of row width, measured v5e), so an honest tight capacity directly
+    # buys fps. Replaces the hand-tuned 1_048_576 (derived: ~1.03M here).
+    from tdgs.ops.tiling import derive_isect_capacity
+
+    ISECT_CAP = derive_isect_capacity(
+        means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
+        max_tiles_per_gauss=16,
+    )
+    # exact coverage (no per-gaussian cap) needs its own, larger bound
+    ISECT_CAP_EXACT = derive_isect_capacity(
+        means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
+        max_tiles_per_gauss=None,
+    )
+
     def render(means, quats, scales, opacities, sh, viewmats, Ks):
         img, alpha, meta = rasterization(
             means, quats, scales, opacities, sh, viewmats, Ks,
@@ -100,12 +117,7 @@ def main():
             rasterizer="packed_inference" if use_pallas else "jax",
             tile_capacity=1024,
             max_tiles_per_gauss=16,
-            # ~934k real intersections in this scene; 1M gives 12%
-            # headroom (n_dropped asserted <100 below). The post-sort
-            # feature gather is ROW-COUNT bound (~2.5 ns/row regardless of
-            # row width, measured v5e), so capacity directly buys fps:
-            # 1.31M -> 1.048M is +1 fps at 1080p.
-            isect_capacity=1_048_576,
+            isect_capacity=ISECT_CAP,
         )
         return img, alpha, meta["n_dropped"]
 
@@ -154,7 +166,7 @@ def main():
                 sh, viewmats, Ks, WIDTH, HEIGHT, sh_degree=3,
                 rasterizer="packed_inference" if use_pallas else "jax",
                 tile_capacity=1024, isect_exact=True,
-                isect_capacity=1_048_576,
+                isect_capacity=ISECT_CAP_EXACT,
             )
             return carry + img.mean(), None
 
@@ -179,7 +191,7 @@ def main():
                 opacities * (1.0 + 1e-5 * i.astype(jnp.float32)),
                 sh, viewmats, Ks, WIDTH, HEIGHT,
                 sh_degree=3, tile_capacity=1024, max_tiles_per_gauss=16,
-                isect_capacity=1_048_576,
+                isect_capacity=ISECT_CAP,
                 rasterizer="packed_inference" if use_pallas else "jax",
             )
             return carry + out[0].mean(), None
@@ -204,7 +216,7 @@ def main():
                 opacities * (1.0 + 1e-5 * i.astype(jnp.float32)),
                 sh, viewmats, Ks, WIDTH, HEIGHT,
                 sh_degree=3, tile_capacity=1024, max_tiles_per_gauss=16,
-                isect_capacity=1_048_576, rasterizer="eval3d_packed",
+                isect_capacity=ISECT_CAP, rasterizer="eval3d_packed",
             )
             return carry + img.mean(), None
 
@@ -233,7 +245,7 @@ def main():
                             "packed" if model == "3dgs" else "eval3d_packed"
                         ),
                         tile_capacity=1024, max_tiles_per_gauss=16,
-                        isect_capacity=1_048_576,
+                        isect_capacity=ISECT_CAP,
                     )
                     return img.mean() + alpha.mean()
                 out = rasterization_2dgs(
@@ -241,7 +253,7 @@ def main():
                     WIDTH, HEIGHT, sh_degree=3, render_mode="RGB+ED",
                     distloss=True, rasterizer="packed",
                     tile_capacity=1024, max_tiles_per_gauss=16,
-                    isect_capacity=1_048_576,
+                    isect_capacity=ISECT_CAP,
                 )
                 return out[0].mean() + out[4].mean()
 

@@ -2,12 +2,19 @@
 
 The north-star bench (bench.py) fixes N=200k; this harness measures how
 the pipeline scales as scenes grow (the reference's MipNeRF-360 runs span
-0.36M-4M gaussians; examples/benchmarks/compression/results). Intersection
-capacity scales with N so the sort/raster workload grows proportionally.
+0.36M-4M gaussians; examples/benchmarks/compression/results/*.csv).
+
+``isect_capacity`` is AUTO-DERIVED per point from the scene's actual
+projected footprints (tdgs.ops.tiling.derive_isect_capacity: one jitted
+projection + tile-count pre-pass, 10% headroom, chunk-aligned) — no
+hand-tuned per-scene constants. Each point also records device HBM in use
+and the tiling's n_dropped so the ladder is honest about coverage.
 
     python examples/benchmarks/scale_sweep.py [--train] [--json out.json]
 
-Prints one JSON object: {"N": {"render_fps": .., "train_fps": ..}, ...}.
+Prints one JSON object:
+    {"N": {"render_fps", "train_fps"?, "isect_capacity", "n_isects",
+           "n_dropped", "hbm_bytes_in_use"?}, ...}
 """
 
 from __future__ import annotations
@@ -32,29 +39,45 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
 import bench  # noqa: E402  (repo-root bench.py: shared scene builder)
+from tdgs.ops.tiling import derive_isect_capacity  # noqa: E402
 from tdgs.rendering import rasterization  # noqa: E402
 
 WIDTH, HEIGHT = 1920, 1080
 
 
+def _hbm_in_use() -> int:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return int(stats.get("bytes_in_use", 0))
+    except Exception:
+        return 0
+
+
 def measure(n: int, train: bool, frames: int = 20) -> dict:
     args = [jnp.asarray(a) for a in bench.make_scene(n)]
-    # ~6.5 intersections per gaussian at the bench density; round the
-    # capacity to the kernels' 128-entry chunk granularity
-    cap = max(1 << 17, int(n * 6.6) // 128 * 128)
+    means, quats, scales, opacities, sh, viewmats, Ks = args
+    cap = derive_isect_capacity(
+        means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
+        max_tiles_per_gauss=16,
+    )
     kw = dict(sh_degree=3, tile_capacity=1024, max_tiles_per_gauss=16,
               isect_capacity=cap)
 
-    out = {}
+    out = {"isect_capacity": cap}
     f = jax.jit(lambda *a: rasterization(
         *a, WIDTH, HEIGHT, rasterizer="packed_inference", **kw)[0].mean())
     r = f(*args)
     np.asarray(r)
+    meta = jax.jit(lambda *a: rasterization(
+        *a, WIDTH, HEIGHT, rasterizer="packed_inference", **kw)[2])(*args)
+    out["n_isects"] = int(np.asarray(meta["n_isects"]))
+    out["n_dropped"] = int(np.asarray(meta["n_dropped"]))
     t0 = time.perf_counter()
     for _ in range(frames):
         r = f(*args)
     np.asarray(r)
     out["render_fps"] = round(frames / (time.perf_counter() - t0), 2)
+    out["hbm_bytes_in_use"] = _hbm_in_use()
 
     if train:
         def loss(m, q, s, o, sh, vm, K):
@@ -73,13 +96,17 @@ def measure(n: int, train: bool, frames: int = 20) -> dict:
             r = g(*args)
         np.asarray(jax.tree.leaves(r)[0]).ravel()[:2]
         out["train_fps"] = round(steps / (time.perf_counter() - t0), 2)
-    out["isect_capacity"] = cap
+        out["hbm_bytes_in_use"] = max(out["hbm_bytes_in_use"], _hbm_in_use())
     return out
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--sizes", type=str, default="100000,200000,500000,1000000")
+    ap.add_argument(
+        "--sizes", type=str,
+        # the reference's working range: 0.36M-4M gaussians
+        default="200000,360000,500000,1000000,2000000,4000000",
+    )
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--json", type=str, default=None)
@@ -89,11 +116,10 @@ def main() -> None:
     for n in (int(s) for s in ns.sizes.split(",")):
         results[str(n)] = measure(n, ns.train, ns.frames)
         print(f"N={n}: {results[str(n)]}", file=sys.stderr, flush=True)
-    blob = json.dumps(results)
-    print(blob)
-    if ns.json:
-        with open(ns.json, "w") as f:
-            f.write(blob + "\n")
+        if ns.json:  # incremental: a crash at 4M still leaves the ladder
+            with open(ns.json, "w") as f:
+                f.write(json.dumps(results) + "\n")
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

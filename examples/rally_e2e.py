@@ -329,6 +329,43 @@ def main():
           f"({W}x{H}, trained scene)")
     summary["kernel_vs_oracle_psnr"] = round(golden_psnr, 2)
 
+    # HARDER golden: the reference torch oracle re-derives EVERY
+    # intermediate independently from the trained splats — projection,
+    # SH, tile intersection, offsets (_torch_impl.py:286,378,477,804) —
+    # and the f64 compositor renders from those. A projection or tiling
+    # bug in tdgs cannot pass this one (the check above shares gmeta).
+    ref_chain_psnr = None
+    try:
+        from tdgs.utils.reference_oracle import (
+            available as _ref_avail,
+            reference_chain_render,
+        )
+
+        if _ref_avail():
+            t_ref0 = time.time()
+            ref_img = reference_chain_render(
+                np.asarray(splats["means"]), np.asarray(splats["quats"]),
+                np.exp(np.asarray(splats["scales"])),
+                np.asarray(jax.nn.sigmoid(splats["opacities"])),
+                np.asarray(sh), np.asarray(viewmat), np.asarray(K), W, H,
+                sh_degree=cfg.sh_degree,
+                background=np.full((3,), DOMINO_BACKGROUND),
+            )
+            ref_chain_psnr = psnr_np(
+                np.clip(np.asarray(img_fast[0]), 0, 1),
+                np.clip(ref_img, 0, 1),
+            )
+            print(f"      kernel-vs-REFERENCE-chain PSNR "
+                  f"{ref_chain_psnr:.2f} dB ({W}x{H}, independent "
+                  f"projection+tiling; {time.time() - t_ref0:.0f}s)")
+            summary["reference_chain_psnr"] = round(ref_chain_psnr, 2)
+        else:
+            print("      reference chain unavailable (no torch or "
+                  "reference checkout) — kernel-vs-oracle only")
+    except Exception as e:  # golden must not kill the rally artifact
+        summary["reference_chain_error"] = repr(e)
+        print(f"      reference-chain golden failed: {e!r}")
+
     # fps metric: on-device rollout (lax.scan over frames, one readback at
     # the end). Pulling every 1080p f32 frame through the remote-TPU tunnel
     # costs ~33 MB/frame and would measure the tunnel, not the chip.
@@ -392,7 +429,9 @@ def main():
         "physics_hz_target": 240.0,
         "physics_hz_ok": physics_hz >= 240.0,
         "psnr_target": 40.0,
-        "psnr_ok": golden_psnr >= 40.0,
+        "psnr_ok": golden_psnr >= 40.0 and (
+            ref_chain_psnr is None or ref_chain_psnr >= 40.0
+        ),
     }
     if args.json:
         with open(args.json, "w") as f:

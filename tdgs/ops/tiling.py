@@ -446,6 +446,87 @@ def isect_tiles_packed(
     )
 
 
+def count_isects(
+    means2d: jnp.ndarray,  # [..., N, 2]
+    radii: jnp.ndarray,  # [..., N, 2]
+    tile_size: int,
+    tile_width: int,
+    tile_height: int,
+    max_tiles_per_gauss: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(capped_total, full_total) tile-intersection counts for a projected
+    scene — the cheap pre-pass behind :func:`derive_isect_capacity`. Uses
+    the same AABB→tile-range math as ``isect_tiles_packed``; ``capped``
+    applies the per-gaussian ``max_tiles_per_gauss`` clamp (None = exact
+    coverage)."""
+    N = means2d.shape[-2]
+    I = math.prod(means2d.shape[:-2]) if means2d.shape[:-2] else 1
+    means2d_f = means2d.reshape(I, N, 2)
+    radii_f = radii.reshape(I, N, 2).astype(means2d_f.dtype)
+    tile_means = means2d_f / tile_size
+    tile_radii = radii_f / tile_size
+    lim = jnp.array([tile_width, tile_height], dtype=jnp.int32)
+    tile_mins = jnp.clip(
+        jnp.floor(tile_means - tile_radii).astype(jnp.int32), 0, lim
+    )
+    tile_maxs = jnp.clip(
+        jnp.ceil(tile_means + tile_radii).astype(jnp.int32), 0, lim
+    )
+    w_g = tile_maxs[..., 0] - tile_mins[..., 0]
+    h_g = tile_maxs[..., 1] - tile_mins[..., 1]
+    alive = (radii_f > 0.0).all(axis=-1)
+    tiles_full = jnp.where(alive, w_g * h_g, 0)
+    full = jnp.sum(tiles_full)
+    if max_tiles_per_gauss is None:
+        return full, full
+    return jnp.sum(jnp.minimum(tiles_full, max_tiles_per_gauss)), full
+
+
+def derive_isect_capacity(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    opacities: jnp.ndarray,
+    viewmats: jnp.ndarray,
+    Ks: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    max_tiles_per_gauss: Optional[int] = 16,
+    headroom: float = 1.1,
+    **proj_kwargs,
+) -> int:
+    """Auto-size ``isect_capacity`` for a scene: one jitted projection +
+    footprint count, then ``headroom``x margin rounded up to the kernels'
+    128-entry chunk granularity. Replaces hand-tuned per-scene capacities
+    (the capacity directly buys fps — the post-sort feature gather is
+    row-count bound — so an honest tight bound beats a safe guess).
+
+    Host-synchronizing (returns a Python int): call once per scene/shape,
+    not inside a jitted step."""
+    from tdgs.ops.projection import fully_fused_projection
+
+    tile_width = math.ceil(width / tile_size)
+    tile_height = math.ceil(height / tile_size)
+
+    @jax.jit
+    def count(means, quats, scales, opacities, viewmats, Ks):
+        radii, means2d, _, _, _ = fully_fused_projection(
+            means, quats, scales, viewmats, Ks, width, height,
+            opacities=opacities, **proj_kwargs,
+        )
+        return count_isects(
+            means2d, radii, tile_size, tile_width, tile_height,
+            max_tiles_per_gauss=max_tiles_per_gauss,
+        )
+
+    import numpy as _np
+
+    capped, _ = count(means, quats, scales, opacities, viewmats, Ks)
+    n = int(_np.asarray(capped))
+    return max(-(-int(n * headroom) // 128) * 128, 128)
+
+
 def _packed_offsets(keys_s, I: int, n_tiles: int, depth_bits: int):
     """Per-tile start offsets into the sorted packed-key buffer."""
     # boundaries computed host-side in int64 (x64 is disabled on device)
