@@ -43,8 +43,13 @@ for SCENE in $SCENE_LIST; do
         --eval-steps "$MAX_STEPS" --save-steps "$MAX_STEPS" \
         --cap-max "$CAP_MAX" \
         --compression png \
+        --lpips-net vgg \
         $EXTRA_ARGS
 done
+# --lpips-net vgg aligns T&T LPIPS with the reference's other benchmarks
+# (reference compression/mcmc_tt.sh: "to align with other benchmarks");
+# with learned weights present the eval stats report real vgg LPIPS,
+# otherwise the proxy is reported under the separate lpips_proxy key.
 
 python examples/benchmarks/summarize_stats.py \
     --results-dir "$RESULT_DIR" --scenes $SCENE_LIST --stage compress \

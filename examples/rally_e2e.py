@@ -45,6 +45,10 @@ def main():
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--n-dominoes", type=int, default=6)
     ap.add_argument("--capacity", type=int, default=24_000)
+    ap.add_argument("--n-images", type=int, default=32,
+                    help="dataset views (bigger scenes need more)")
+    ap.add_argument("--gauss-per-domino", type=int, default=700)
+    ap.add_argument("--ground-gauss", type=int, default=2500)
     ap.add_argument("--frames", type=int, default=90)
     ap.add_argument("--fps", type=int, default=30)
     ap.add_argument("--physics-hz", type=int, default=240)
@@ -72,7 +76,12 @@ def main():
     # ---- 1. dataset (procedural stand-in for the captured domino scene) ----
     if not os.path.isdir(os.path.join(args.data_dir, "sparse")):
         print(f"[1/5] generating domino dataset at {args.data_dir}")
-        make_domino_scene(args.data_dir, n_dominoes=args.n_dominoes)
+        make_domino_scene(
+            args.data_dir, n_dominoes=args.n_dominoes,
+            n_images=args.n_images,
+            gauss_per_domino=args.gauss_per_domino,
+            ground_gauss=args.ground_gauss,
+        )
     else:
         print(f"[1/5] dataset exists at {args.data_dir}")
 

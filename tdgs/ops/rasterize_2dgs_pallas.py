@@ -702,17 +702,16 @@ def _bwd_kernel_2dgs_unaligned(
         P_prev = jnp.exp(logP - logs)
         w = jnp.where(included, alpha * P_prev, 0.0)
 
-        # Raised precision is load-bearing: Mosaic runs small-K (DA) f32
+        # HIGHEST is load-bearing: Mosaic runs small-K (DA) f32
         # contractions as single bf16 MXU passes; r's ~1% error feeds the
         # suffix cancellation (totq − pref_incl) and decorrelates the
         # geometry grads at scale (measured cos 0.17 on quats/scales).
-        # bf16x3 (HIGH) keeps ~21 mantissa bits at half the passes of
-        # bf16x6 (HIGHEST); grad parity holds.
+        # (Precision.HIGH/bf16x3 is unsupported by the Mosaic lowering.)
         r = jax.lax.dot_general(
             vch_ref[:, :], ch,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGH,
+            precision=jax.lax.Precision.HIGHEST,
         )  # [P, G]
         g_d_extra = None
         if compute_distort and depth_row >= 0:

@@ -63,15 +63,16 @@ from tdgs.ops.transforms import (
 # MXU precision for the σ*-chain contractions. σ* = ½(gg − gr²/rr) cancels
 # ~1e4-magnitude quadratic forms to O(1): a single bf16 pass (DEFAULT, ~1%
 # error) corrupts α entirely (measured; see "Numerics on TPU" in README).
-# bf16x3 (HIGH) carries ~21 mantissa bits — grad parity holds (fd probe +
-# f64 golden) and it halves the MXU passes vs bf16x6 (HIGHEST). Env
-# override for A/B: TDGS_EVAL3D_MM_PRECISION=highest.
+# Mosaic supports only DEFAULT (1 bf16 pass) and HIGHEST (bf16x6) —
+# Precision.HIGH raises NotImplementedError in the Pallas lowering
+# (measured this round), so HIGHEST it is. Env override for timing
+# probes only: TDGS_EVAL3D_MM_PRECISION=default (WRONG numerics).
 import os as _os
 
 _MM_PRECISION = (
-    jax.lax.Precision.HIGHEST
-    if _os.environ.get("TDGS_EVAL3D_MM_PRECISION", "high") == "highest"
-    else jax.lax.Precision.HIGH
+    jax.lax.Precision.DEFAULT
+    if _os.environ.get("TDGS_EVAL3D_MM_PRECISION") == "default"
+    else jax.lax.Precision.HIGHEST
 )
 
 

@@ -473,16 +473,16 @@ def _bwd_chunk_grads(
     P_prev = jnp.exp(logP - logs)
     w = jnp.where(included, alpha * P_prev, 0.0)
 
-    # Raised precision is load-bearing: small-K (D=3) f32 dots lower to a
-    # single bf16 MXU pass by default (~1% error), and r's error feeds the
-    # suffix cancellation (totq − pref_incl) — see the matching comment in
-    # rasterize_2dgs_pallas. bf16x3 (HIGH) carries ~21 mantissa bits —
-    # parity holds — at half the MXU passes of bf16x6 (HIGHEST).
+    # HIGHEST is load-bearing: small-K (D=3) f32 dots lower to a single
+    # bf16 MXU pass by default (~1% error), and r's error feeds the
+    # suffix cancellation (totq − pref_incl) — see the matching comment
+    # in rasterize_2dgs_pallas. (Precision.HIGH/bf16x3 is unsupported by
+    # the Mosaic lowering — measured NotImplementedError.)
     r = jax.lax.dot_general(
         vcol, colors,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGH,
+        precision=jax.lax.Precision.HIGHEST,
     )  # [P, G]
     q = w * r
     pref_incl = (

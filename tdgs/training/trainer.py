@@ -1231,7 +1231,14 @@ class Runner:
     def eval(self, step: int, stage: str = "val") -> Dict[str, float]:
         cfg = self.cfg
         metrics = defaultdict(list)
-        from tdgs.training.metrics import lpips
+        from tdgs.training.metrics import lpips, lpips_impl
+
+        # real AlexNet/VGG LPIPS when local weights exist (Config.lpips_net
+        # selects the net, reference --lpips_net); random proxy otherwise —
+        # then the stats key is lpips_proxy so reference CSV diffs can't
+        # pick up non-comparable absolute values
+        _impl = lpips_impl(cfg.lpips_net)
+        _lpips_key = "lpips" if _impl.startswith("learned") else "lpips_proxy"
 
         if cfg.use_bilateral_grid:
             from tdgs.training.bilateral_grid import color_correct
@@ -1256,15 +1263,17 @@ class Runner:
             gt = jnp.asarray(d["image"])
             metrics["psnr"].append(float(L.psnr(pred, gt)))
             metrics["ssim"].append(float(L.ssim(pred[None], gt[None])))
-            metrics["lpips"].append(float(lpips(pred[None], gt[None])[0]))
+            metrics[_lpips_key].append(
+                float(lpips(pred[None], gt[None], net=cfg.lpips_net)[0])
+            )
             if cfg.use_bilateral_grid:
                 # color-corrected metrics: affine fit removes per-image
                 # exposure before scoring (reference eval :1351-1356)
                 cc = jnp.clip(color_correct(pred, gt), 0.0, 1.0)
                 metrics["cc_psnr"].append(float(L.psnr(cc, gt)))
                 metrics["cc_ssim"].append(float(L.ssim(cc[None], gt[None])))
-                metrics["cc_lpips"].append(
-                    float(lpips(cc[None], gt[None])[0])
+                metrics[f"cc_{_lpips_key}"].append(
+                    float(lpips(cc[None], gt[None], net=cfg.lpips_net)[0])
                 )
             if cfg.tb_save_image:
                 # reference tb_save_image: persist eval renders for
@@ -1281,9 +1290,9 @@ class Runner:
                 )
         ellipse = (time.time() - t0) / max(len(self.valset), 1)
         out = {k: float(np.mean(v)) for k, v in metrics.items()}
-        # absolute values of the random-filter proxy are NOT comparable to
-        # AlexNet-LPIPS numbers (deltas/rankings are) — flag it in the JSON
-        out["lpips_impl"] = "random-proxy"
+        # the proxy's absolute values are NOT comparable to AlexNet-LPIPS
+        # numbers (deltas/rankings are) — name the backend in the JSON
+        out["lpips_impl"] = _impl
         out["ellipse_time"] = ellipse
         out["num_GS"] = int(
             np.asarray(G.alive_mask(self.splats)).sum()

@@ -39,18 +39,28 @@ def test_scripts_parse_and_use_known_flags():
 
     known = {f.name.replace("_", "-") for f in dataclasses.fields(Config)}
     # CLI-only extras defined in examples/simple_trainer.py build_parser
-    known |= {"cap-max", "absgrad", "grow-grad2d", "sharded", "ckpt",
-              "compression", "save-ply", "disable-video", "no-" }
+    # (everything else a script passes must be a real Config field)
+    known |= {"cap-max", "absgrad", "grow-grad2d", "ckpt"}
     for script in _scripts():
         subprocess.run(["bash", "-n", script], check=True)
         text = open(script).read()
-        for block in re.findall(
-            r"python examples/simple_trainer\.py(.*?)(?:\n\n|\ndone)",
-            text, re.S,
-        ):
-            for flag in re.findall(r"--([a-z][a-z0-9-]*)", block):
+        # Join backslash-continued lines into logical commands, then check
+        # every --flag on trainer invocations AND on EXTRA_ARGS/BASE_ARGS
+        # style assignments (which get spliced into trainer commands).
+        # Non-trainer invocations (make_scene.py, summarize_stats.py) and
+        # comment lines are skipped.
+        logical = re.sub(r"\\\n", " ", text)
+        for line in logical.splitlines():
+            stripped = line.strip()
+            if stripped.startswith("#"):
+                continue
+            is_trainer = "simple_trainer.py" in stripped
+            is_args_var = re.match(r'[A-Z_]*ARGS[A-Z_]*[+]?="', stripped)
+            if not (is_trainer or is_args_var):
+                continue
+            for flag in re.findall(r"--([a-z][a-z0-9-]*)", stripped):
                 base = flag[3:] if flag.startswith("no-") else flag
-                assert base in known or flag in known, (
+                assert base in known, (
                     f"{os.path.relpath(script, BENCH)} passes unknown flag "
                     f"--{flag}"
                 )

@@ -124,3 +124,45 @@ def test_depth_loss_dense_masked_disparity():
     np.testing.assert_allclose(out2, 0.25 * 2.0, rtol=1e-6)
     # everything invalid → 0
     assert float(depth_loss_dense(rd, jnp.zeros((1, 4, 4)))) == 0.0
+
+
+def test_lpips_learned_weights_path(tmp_path, monkeypatch):
+    """With a local weights npz, lpips() runs the real AlexNet-LPIPS
+    architecture (convs + maxpools + lin calibration) and the impl tag
+    flips from the random proxy to learned-alex."""
+    import numpy as np
+
+    from tdgs.training import metrics as M
+
+    rng = np.random.default_rng(0)
+    # AlexNet feature convs: (out, in, k, k) per torchvision
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    z = {}
+    for i, s in enumerate(shapes):
+        z[f"conv{i}_w"] = (rng.normal(size=s) * 0.05).astype(np.float32)
+        z[f"conv{i}_b"] = np.zeros(s[0], np.float32)
+    for i, s in enumerate(shapes):
+        z[f"lin{i}"] = rng.uniform(0, 0.1, size=s[0]).astype(np.float32)
+    path = tmp_path / "lpips_alex.npz"
+    np.savez(path, **z)
+
+    monkeypatch.setenv("TDGS_LPIPS_WEIGHTS", str(path))
+    M._load_learned.cache_clear()
+    try:
+        assert M.lpips_impl("alex") == "learned-alex"
+        img0 = rng.uniform(0, 1, size=(1, 64, 64, 3)).astype(np.float32)
+        img1 = np.clip(img0 + rng.normal(size=img0.shape) * 0.1, 0, 1
+                       ).astype(np.float32)
+        import jax.numpy as jnp
+
+        same = float(M.lpips(jnp.asarray(img0), jnp.asarray(img0))[0])
+        diff = float(M.lpips(jnp.asarray(img0),
+                             jnp.asarray(img1, jnp.float32))[0])
+        assert abs(same) < 1e-6
+        assert diff > 0 and np.isfinite(diff)
+    finally:
+        M._load_learned.cache_clear()
+
+    monkeypatch.delenv("TDGS_LPIPS_WEIGHTS")
+    assert M.lpips_impl("alex") == "random-proxy"

@@ -102,3 +102,67 @@ def test_trainer_live_render_fn(model_type, tmp_path):
         )
         assert img.shape == (48, 64, 3) and img.dtype == np.uint8
         assert np.isfinite(img.astype(np.float32)).all()
+
+
+def test_fly_camera_matches_orbit_pose():
+    """A fly camera placed at the orbit camera's eye, looking at the
+    target, reproduces the orbit viewmat (free-cam parity with the
+    reference's viser 6-DoF navigation)."""
+    from tdgs.viewer.server import fly_camera, orbit_camera
+
+    az, el, dist = 0.7, 0.25, 5.0
+    target = np.zeros(3, np.float32)
+    vm_orbit = orbit_camera(az, el, dist, target)
+    eye = dist * np.array(
+        [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)],
+        np.float32,
+    )
+    # looking back at the origin: yaw/pitch of -eye direction
+    fwd = -eye / np.linalg.norm(eye)
+    yaw = np.arctan2(fwd[1], fwd[0])
+    pitch = np.arcsin(fwd[2])
+    vm_fly = fly_camera(eye, yaw, pitch)
+    np.testing.assert_allclose(vm_fly, vm_orbit, rtol=1e-5, atol=1e-5)
+
+
+def test_viewer_http_free_camera_and_knobs():
+    """The /render endpoint accepts the free-camera pose (px/py/pz +
+    yaw/pitch), an explicit vm matrix, and the full knob set."""
+    import urllib.request
+
+    from tdgs.viewer.server import ViewerServer, fly_camera
+
+    seen = {}
+
+    def render_fn(vm, K, width, height, st):
+        seen["vm"] = np.asarray(vm).copy()
+        seen["st"] = st
+        return np.zeros((height, width, 3), np.uint8)
+
+    srv = ViewerServer(render_fn, width=64, height=48, port=18742)
+    th = srv.start()
+    try:
+        url = ("http://localhost:18742/render?px=1&py=2&pz=3&yaw=0.5"
+               "&pitch=-0.2&mode=rgb&sh=1&near=0.05&far=100&rclip=1.5"
+               "&eps2d=0.4&bg=0.2,0.3,0.4&w=32&h=24")
+        with urllib.request.urlopen(url, timeout=30) as r:
+            assert r.status == 200
+        exp = fly_camera(np.array([1, 2, 3], np.float32), 0.5, -0.2)
+        np.testing.assert_allclose(seen["vm"], exp, rtol=1e-5, atol=1e-6)
+        st = seen["st"]
+        assert st.near_plane == 0.05 and st.far_plane == 100.0
+        assert st.radius_clip == 1.5 and abs(st.eps2d - 0.4) < 1e-6
+        assert np.allclose(st.backgrounds, (0.2, 0.3, 0.4))
+
+        # explicit pose matrix (16 comma floats, row-major)
+        vm = np.eye(4, dtype=np.float32)
+        vm[2, 3] = 7.0
+        q = ",".join(str(float(x)) for x in vm.ravel())
+        with urllib.request.urlopen(
+            f"http://localhost:18742/render?vm={q}", timeout=30
+        ) as r:
+            assert r.status == 200
+        np.testing.assert_allclose(seen["vm"], vm)
+    finally:
+        srv.shutdown()
+        th.join(timeout=5)
