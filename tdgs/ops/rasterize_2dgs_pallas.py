@@ -35,6 +35,8 @@ from tdgs.ops.projection import ALPHA_THRESHOLD
 from tdgs.ops.rasterize_jax import ALPHA_CLAMP, TRANSMITTANCE_EPS
 from tdgs.ops.rasterize_pallas_packed import (
     CHUNK,
+    _exp_fast,
+    _log1p_neg_fast,
     _pixel_coords,
     _pixel_moment_basis,
     _tri_upper_incl,
@@ -73,7 +75,7 @@ def _chunk_values_2dgs(buf, px, py, DA: int):
     dy = my - py
     sigma2d = 2.0 * (dx * dx + dy * dy)
     sigma = 0.5 * jnp.minimum(sigma3d, sigma2d)
-    alpha = jnp.minimum(ALPHA_CLAMP, op * jnp.exp(-sigma))
+    alpha = jnp.minimum(ALPHA_CLAMP, op * _exp_fast(-sigma))
     alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
     return alpha, ch
 
@@ -147,11 +149,11 @@ def _fwd_kernel_2dgs_unaligned(
         def _():
             alpha, channels = _chunk_values_2dgs(window, px, py, DA)
             alpha = jnp.where(in_range, alpha, 0.0)
-            logs = jnp.log1p(-alpha)
+            logs = _log1p_neg_fast(alpha)
             S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
             logP = S + lograw_ref[:, 0:1]
             included = logP > jnp.log(TRANSMITTANCE_EPS)
-            P_prev = jnp.exp(logP - logs)
+            P_prev = _exp_fast(logP - logs)
             w = jnp.where(included, alpha * P_prev, 0.0)
             acc_ref[:, :] += jax.lax.dot_general(
                 channels, w,
@@ -173,7 +175,7 @@ def _fwd_kernel_2dgs_unaligned(
     jax.lax.fori_loop(0, n, body, ())
 
     color_out_ref[:, :] = acc_ref[:, :]
-    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
+    trans_out_ref[:, :] = _exp_fast(logeff_ref[:, :])
 
 
 def rasterize_to_pixels_2dgs_packed_inference(
@@ -322,7 +324,7 @@ def _chunk_values_2dgs_full(buf, px, py, DA: int):
     dy = my - py
     sigma2d = 2.0 * (dx * dx + dy * dy)
     sigma = 0.5 * jnp.minimum(sigma3d, sigma2d)
-    vis = jnp.exp(-sigma)
+    vis = _exp_fast(-sigma, poly=False)
     alpha = jnp.minimum(ALPHA_CLAMP, op * vis)
     alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
     use3d = (sigma3d <= sigma2d) & ~bad
@@ -516,11 +518,11 @@ def _fwd_kernel_2dgs_train(
         def _():
             alpha, ch = _chunk_values_2dgs(window, px, py, DA)
             alpha = jnp.where(in_range, alpha, 0.0)
-            logs = jnp.log1p(-alpha)
+            logs = _log1p_neg_fast(alpha)
             S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
             logP = S + lograw_ref[:, 0:1]
             included = logP > jnp.log(TRANSMITTANCE_EPS)
-            P_prev = jnp.exp(logP - logs)
+            P_prev = _exp_fast(logP - logs)
             w = jnp.where(included, alpha * P_prev, 0.0)
             acc_ref[:, :] += jax.lax.dot_general(
                 ch, w,
@@ -572,7 +574,7 @@ def _fwd_kernel_2dgs_train(
     jax.lax.fori_loop(0, n, body, ())
 
     color_out_ref[:, :] = acc_ref[:, :]
-    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
+    trans_out_ref[:, :] = _exp_fast(logeff_ref[:, :])
     dist_out_ref[:, :] = dist_ref[:, :]
     med_out_ref[:, :] = med_ref[:, :]
 
@@ -695,11 +697,11 @@ def _bwd_kernel_2dgs_unaligned(
             _chunk_values_2dgs_full(window, px, py, DA)
         )
         one_minus = 1.0 - alpha
-        logs = jnp.log1p(-alpha)
+        logs = _log1p_neg_fast(alpha, poly=False)
         S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
         logP = S + lograw_ref[:, 0:1]
         included = logP > jnp.log(TRANSMITTANCE_EPS)
-        P_prev = jnp.exp(logP - logs)
+        P_prev = _exp_fast(logP - logs, poly=False)
         w = jnp.where(included, alpha * P_prev, 0.0)
 
         # HIGHEST is load-bearing: Mosaic runs small-K (DA) f32

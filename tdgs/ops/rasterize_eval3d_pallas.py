@@ -50,6 +50,8 @@ from tdgs.ops.projection import ALPHA_THRESHOLD
 from tdgs.ops.rasterize_jax import ALPHA_CLAMP, TRANSMITTANCE_EPS
 from tdgs.ops.rasterize_pallas_packed import (
     CHUNK,
+    _exp_fast,
+    _log1p_neg_fast,
     _tri_upper_incl,
     _use_interpret,
 )
@@ -207,18 +209,18 @@ def _fwd_kernel_eval3d_unaligned(
             rr = jnp.maximum(mm(dd6, p6), 1e-12)
             sigma = 0.5 * (gg - gr * gr / rr)
             alpha = jnp.minimum(
-                ALPHA_CLAMP, op * jnp.exp(-jnp.maximum(sigma, 0.0))
+                ALPHA_CLAMP, op * _exp_fast(-jnp.maximum(sigma, 0.0))
             )
             # t* = −gr/rr > 0 ⇔ gr < 0 (response in front of the camera)
             alpha = jnp.where(
                 (gr < 0.0) & (alpha >= ALPHA_THRESHOLD) & in_range, alpha, 0.0
             )
 
-            logs = jnp.log1p(-alpha)
+            logs = _log1p_neg_fast(alpha)
             S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
             logP = S + lograw_ref[:, 0:1]
             included = logP > jnp.log(TRANSMITTANCE_EPS)
-            P_prev = jnp.exp(logP - logs)
+            P_prev = _exp_fast(logP - logs)
             wgt = jnp.where(included, alpha * P_prev, 0.0)
             acc_ref[:, :] += jax.lax.dot_general(
                 colors, wgt,
@@ -235,7 +237,7 @@ def _fwd_kernel_eval3d_unaligned(
     jax.lax.fori_loop(0, n, body, ())
 
     color_out_ref[:, :] = acc_ref[:, :]
-    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
+    trans_out_ref[:, :] = _exp_fast(logeff_ref[:, :])
 
 
 def _tile_rays_world(
@@ -628,7 +630,7 @@ def _bwd_kernel_eval3d_unaligned(
         rr_raw = mm(dd6, p6)
         rr = jnp.maximum(rr_raw, 1e-12)
         sigma = 0.5 * (gg - gr * gr / rr)
-        vis = jnp.exp(-jnp.maximum(sigma, 0.0))
+        vis = _exp_fast(-jnp.maximum(sigma, 0.0), poly=False)
         alpha_raw = op * vis
         alpha = jnp.minimum(ALPHA_CLAMP, alpha_raw)
         alpha = jnp.where(
@@ -636,11 +638,11 @@ def _bwd_kernel_eval3d_unaligned(
         )
 
         one_minus = 1.0 - alpha
-        logs = jnp.log1p(-alpha)
+        logs = _log1p_neg_fast(alpha, poly=False)
         S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
         logP = S + lograw_ref[:, 0:1]
         included = logP > jnp.log(TRANSMITTANCE_EPS)
-        P_prev = jnp.exp(logP - logs)
+        P_prev = _exp_fast(logP - logs, poly=False)
         wgt = jnp.where(included, alpha * P_prev, 0.0)
 
         r = mm(vcol_ref[:, :], colors)  # [P, G]

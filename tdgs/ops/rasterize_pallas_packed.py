@@ -44,6 +44,72 @@ from tdgs.ops.rasterize_jax import ALPHA_CLAMP, TRANSMITTANCE_EPS
 
 CHUNK = 128
 
+# --------------------------------------------------------------------------
+# Polynomial transcendentals (A/B: TDGS_POLY_EXP=0 restores HW exp/log).
+# The packed kernels are VPU-transcendental-bound (exp / log1p / exp per
+# [256 px, 128 entry] chunk — README perf ledger); these replace the HW
+# ops with exponent-bit splits + short polynomials.
+# --------------------------------------------------------------------------
+import os as _os
+
+_POLY_EXP = _os.environ.get("TDGS_POLY_EXP", "1") != "0"
+_LOG2E = 1.4426950408889634
+_LN2 = 0.6931471805599453
+_SQRT2 = 1.4142135623730951
+
+
+def _exp_fast(x, poly: bool = True):
+    """e^x for x ≤ 0 (compositing visibilities): 2^n·poly(f) with the 2^n
+    scale built from exponent bits. Max rel err ~2.4e-6 on the live range
+    (alpha threshold is 1/255 — orders of magnitude of slack).
+
+    ``poly=False`` keeps the HW op: the BACKWARD kernels are MXU-bound
+    (HIGHEST small-K dots), where HW transcendentals hide under the
+    matmuls and the poly's extra VPU ops only add load (measured: poly in
+    the 2DGS bwd cost +2.8 ms while saving 4.2 ms in the VPU-bound fwd)."""
+    if not (_POLY_EXP and poly):
+        return jnp.exp(x)
+    y = x * _LOG2E
+    n = jnp.floor(y + 0.5)
+    f = y - n  # [-0.5, 0.5]
+    # e^{f·ln2} Taylor through degree 5
+    p = 1.0 + f * (
+        0.6931471805599453
+        + f * (0.2402265069591007
+               + f * (0.05550410866482158
+                      + f * (0.009618129107628477
+                             + f * 0.0013333558146428443)))
+    )
+    n_i = jnp.clip(n, -126.0, 126.0).astype(jnp.int32)
+    scale = pltpu.bitcast((n_i + 127) << 23, jnp.float32)
+    return jnp.where(y < -125.0, 0.0, p * scale)
+
+
+def _log1p_neg_fast(a, poly: bool = True):
+    """ln(1 − a) for a ∈ [0, 0.999] (per-entry log-transmittance):
+    exponent/mantissa split + atanh series. Max rel err ~1e-7.
+    ``poly=False``: see _exp_fast."""
+    if not (_POLY_EXP and poly):
+        return jnp.log1p(-a)
+    u = 1.0 - a  # exact in f32 (a ≤ 0.999; u ∈ [1e-3, 1])
+    bits = pltpu.bitcast(u, jnp.int32)
+    e = jax.lax.shift_right_logical(bits, 23) - 127  # u > 0 always
+    m = pltpu.bitcast(
+        jax.lax.bitwise_or(
+            jax.lax.bitwise_and(bits, 0x007FFFFF), 127 << 23
+        ),
+        jnp.float32,
+    )  # [1, 2)
+    big = m > _SQRT2
+    m = jnp.where(big, 0.5 * m, m)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    t = (m - 1.0) / (m + 1.0)  # |t| ≤ 0.1716
+    t2 = t * t
+    ln_m = 2.0 * t * (
+        1.0 + t2 * (1.0 / 3.0 + t2 * (0.2 + t2 * (1.0 / 7.0)))
+    )
+    return e * _LN2 + ln_m
+
 
 def _tri_upper_incl(g: int) -> jnp.ndarray:
     """M[j, k] = 1 iff j <= k: x @ M is an inclusive cumsum along lanes."""
@@ -79,7 +145,7 @@ def _pixel_coords(tile_size: int, tile_width: int, tiles_per_image: int, t):
     return px, py
 
 
-def _chunk_values(buf, px, py, D: int):
+def _chunk_values(buf, px, py, D: int, poly: bool = True):
     """Per-chunk α and colors from a [F, CHUNK] feature block.
 
     Returns (alpha [P, G], vis, dx, dy, conic rows [1, G], colors [D, G]).
@@ -96,7 +162,7 @@ def _chunk_values(buf, px, py, D: int):
     dx = mx - px  # [P, G]
     dy = my - py
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    vis = jnp.exp(-sigma)
+    vis = _exp_fast(-sigma, poly)
     alpha = jnp.minimum(ALPHA_CLAMP, op * vis)
     alpha = jnp.where((sigma < 0.0) | (alpha < ALPHA_THRESHOLD), 0.0, alpha)
     return alpha, vis, dx, dy, (ca, cb, cc, op), colors
@@ -295,7 +361,7 @@ def _fwd_kernel_unaligned(
         def _():
             alpha, _, _, _, _, colors = _chunk_values(window, px, py, D)
             alpha = jnp.where(in_range, alpha, 0.0)
-            logs = jnp.log1p(-alpha)
+            logs = _log1p_neg_fast(alpha)
             # NB Mosaic lowers f32 dots at full f32 accuracy already;
             # requesting Precision.HIGHEST here costs ~13% frame time for
             # bit-identical output (measured: 47.9 -> 41.1 fps at 1080p,
@@ -303,7 +369,7 @@ def _fwd_kernel_unaligned(
             S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
             logP = S + lograw_ref[:, 0:1]
             included = logP > jnp.log(TRANSMITTANCE_EPS)
-            P_prev = jnp.exp(logP - logs)
+            P_prev = _exp_fast(logP - logs)
             w = jnp.where(included, alpha * P_prev, 0.0)
             acc_ref[:, :] += jax.lax.dot_general(
                 colors, w,
@@ -327,7 +393,7 @@ def _fwd_kernel_unaligned(
     jax.lax.fori_loop(0, n, body, ())
 
     color_out_ref[:, :] = acc_ref[:, :]
-    trans_out_ref[:, :] = jnp.exp(logeff_ref[:, :])
+    trans_out_ref[:, :] = _exp_fast(logeff_ref[:, :])
 
 
 def rasterize_to_pixels_packed_inference(
@@ -461,16 +527,16 @@ def _bwd_chunk_grads(
     Returns (gout [8+D..., CHUNK] rows ordered like the packed features,
     q [P, CHUNK], logs [P, CHUNK])."""
     alpha, vis, dx, dy, (ca, cb, cc, op), colors = _chunk_values(
-        window, px, py, D
+        window, px, py, D, poly=False
     )
     mx = window[0:1, :]
     my = window[1:2, :]
     one_minus = 1.0 - alpha
-    logs = jnp.log1p(-alpha)
+    logs = _log1p_neg_fast(alpha, poly=False)
     S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
     logP = S + lograw
     included = logP > jnp.log(TRANSMITTANCE_EPS)
-    P_prev = jnp.exp(logP - logs)
+    P_prev = _exp_fast(logP - logs, poly=False)
     w = jnp.where(included, alpha * P_prev, 0.0)
 
     # HIGHEST is load-bearing: small-K (D=3) f32 dots lower to a single
