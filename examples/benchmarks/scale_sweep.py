@@ -64,37 +64,52 @@ def measure(n: int, train: bool, frames: int = 20) -> dict:
               isect_capacity=cap)
 
     out = {"isect_capacity": cap}
-    f = jax.jit(lambda *a: rasterization(
-        *a, WIDTH, HEIGHT, rasterizer="packed_inference", **kw)[0].mean())
-    r = f(*args)
-    np.asarray(r)
     meta = jax.jit(lambda *a: rasterization(
         *a, WIDTH, HEIGHT, rasterizer="packed_inference", **kw)[2])(*args)
     out["n_isects"] = int(np.asarray(meta["n_isects"]))
     out["n_dropped"] = int(np.asarray(meta["n_dropped"]))
+
+    # frames run on-device in one lax.scan (the bench.py pattern): timing
+    # per-dispatch through the axon tunnel measures the ~25 ms dispatch
+    # overhead, not the chip. Each frame perturbs opacities so none elide.
+    def render_frames(m, q, s, o, sh, vm, K):
+        def frame(c, i):
+            img, _, _ = rasterization(
+                m, q, s, o * (1.0 + 1e-5 * i.astype(jnp.float32)), sh,
+                vm, K, WIDTH, HEIGHT, rasterizer="packed_inference", **kw)
+            return c + img.mean(), None
+        acc, _ = jax.lax.scan(frame, jnp.zeros(()), jnp.arange(frames))
+        return acc
+
+    f = jax.jit(render_frames)
+    np.asarray(f(*args))  # host readback: block_until_ready returns early
     t0 = time.perf_counter()
-    for _ in range(frames):
-        r = f(*args)
-    np.asarray(r)
+    np.asarray(f(*args))
     out["render_fps"] = round(frames / (time.perf_counter() - t0), 2)
     out["hbm_bytes_in_use"] = _hbm_in_use()
 
     if train:
-        def loss(m, q, s, o, sh, vm, K):
-            img, alpha, _ = rasterization(
-                m, q, s, o, sh, vm, K, WIDTH, HEIGHT,
-                rasterizer="packed", **kw)
-            return img.mean() + alpha.mean()
-
-        g = jax.jit(lambda *a: jax.value_and_grad(
-            loss, argnums=(0, 1, 2, 3, 4))(*a))
-        r = g(*args)
-        np.asarray(jax.tree.leaves(r)[0]).ravel()[:2]
         steps = max(frames // 2, 5)
+
+        def train_frames(m, q, s, o, sh, vm, K):
+            def loss(m, q, s, o, sh, i):
+                img, alpha, _ = rasterization(
+                    m, q, s, o * (1.0 + 1e-5 * i.astype(jnp.float32)),
+                    sh, vm, K, WIDTH, HEIGHT, rasterizer="packed", **kw)
+                return img.mean() + alpha.mean()
+
+            def body(c, i):
+                l, grads = jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4))(
+                    m, q, s, o, sh, i)
+                return c + l + sum(jnp.sum(g[:1]) for g in grads), None
+
+            acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(steps))
+            return acc
+
+        g = jax.jit(train_frames)
+        np.asarray(g(*args))
         t0 = time.perf_counter()
-        for _ in range(steps):
-            r = g(*args)
-        np.asarray(jax.tree.leaves(r)[0]).ravel()[:2]
+        np.asarray(g(*args))
         out["train_fps"] = round(steps / (time.perf_counter() - t0), 2)
         out["hbm_bytes_in_use"] = max(out["hbm_bytes_in_use"], _hbm_in_use())
     return out

@@ -49,6 +49,11 @@ def main():
                     help="dataset views (bigger scenes need more)")
     ap.add_argument("--gauss-per-domino", type=int, default=700)
     ap.add_argument("--ground-gauss", type=int, default=2500)
+    ap.add_argument("--data-width", type=int, default=480,
+                    help="dataset image width (bigger rows need more px)")
+    ap.add_argument("--data-height", type=int, default=360)
+    ap.add_argument("--sfm-points", type=int, default=4000,
+                    help="SFM seed points (sets the MCMC starting count)")
     ap.add_argument("--frames", type=int, default=90)
     ap.add_argument("--fps", type=int, default=30)
     ap.add_argument("--physics-hz", type=int, default=240)
@@ -79,8 +84,10 @@ def main():
         make_domino_scene(
             args.data_dir, n_dominoes=args.n_dominoes,
             n_images=args.n_images,
+            width=args.data_width, height=args.data_height,
             gauss_per_domino=args.gauss_per_domino,
             ground_gauss=args.ground_gauss,
+            sfm_points=args.sfm_points,
         )
     else:
         print(f"[1/5] dataset exists at {args.data_dir}")

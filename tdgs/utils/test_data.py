@@ -160,6 +160,7 @@ def make_domino_scene(
     seed: int = 3,
     domino_half_extents=(0.05, 0.2, 0.4),
     spacing: float = 0.55,
+    sfm_points: int = 4000,
 ):
     """Write a procedural multi-view COLMAP **domino** dataset — the in-repo
     stand-in for the reference README's captured domino scene (README.md:11-45):
@@ -286,7 +287,10 @@ def make_domino_scene(
             masks[i],
         )
     # SFM points: subsample GT gaussians (what COLMAP triangulation yields)
-    sel = rng.choice(n, size=min(n, 4000), replace=False)
+    # sfm_points bounds the triangulated-point stand-in; it also sets the
+    # trainer's init_type="sfm" starting count, which MCMC then grows by
+    # 5%/refine — big rally scenes need a bigger seed to reach cap_max
+    sel = rng.choice(n, size=min(n, sfm_points), replace=False)
     _write_colmap_sparse(
         os.path.join(root, "sparse", "0"), width, height, f,
         viewmats, image_names, means[sel], cols[sel],
