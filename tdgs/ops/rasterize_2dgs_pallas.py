@@ -35,6 +35,7 @@ from tdgs.ops.projection import ALPHA_THRESHOLD
 from tdgs.ops.rasterize_jax import ALPHA_CLAMP, TRANSMITTANCE_EPS
 from tdgs.ops.rasterize_pallas_packed import (
     CHUNK,
+    _dot_bf16x3,
     _exp_fast,
     _log1p_neg_fast,
     _pixel_coords,
@@ -704,16 +705,13 @@ def _bwd_kernel_2dgs_unaligned(
         P_prev = _exp_fast(logP - logs, poly=False)
         w = jnp.where(included, alpha * P_prev, 0.0)
 
-        # HIGHEST is load-bearing: Mosaic runs small-K (DA) f32
-        # contractions as single bf16 MXU passes; r's ~1% error feeds the
+        # Precision matters: Mosaic runs small-K (DA) f32 contractions as
+        # single bf16 MXU passes by default; r's ~1% error feeds the
         # suffix cancellation (totq − pref_incl) and decorrelates the
         # geometry grads at scale (measured cos 0.17 on quats/scales).
-        # (Precision.HIGH/bf16x3 is unsupported by the Mosaic lowering.)
-        r = jax.lax.dot_general(
-            vch_ref[:, :], ch,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # bf16x3 (~1e-5 rel) suffices at 3 MXU passes vs HIGHEST's 6.
+        r = _dot_bf16x3(
+            vch_ref[:, :], ch, (((0,), (0,)), ((), ())),
         )  # [P, G]
         g_d_extra = None
         if compute_distort and depth_row >= 0:

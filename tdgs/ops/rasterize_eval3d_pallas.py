@@ -50,6 +50,7 @@ from tdgs.ops.projection import ALPHA_THRESHOLD
 from tdgs.ops.rasterize_jax import ALPHA_CLAMP, TRANSMITTANCE_EPS
 from tdgs.ops.rasterize_pallas_packed import (
     CHUNK,
+    _dot_bf16x3,
     _exp_fast,
     _log1p_neg_fast,
     _tri_upper_incl,
@@ -645,7 +646,11 @@ def _bwd_kernel_eval3d_unaligned(
         P_prev = _exp_fast(logP - logs, poly=False)
         wgt = jnp.where(included, alpha * P_prev, 0.0)
 
-        r = mm(vcol_ref[:, :], colors)  # [P, G]
+        # color contraction: O(1) magnitudes, NOT the σ* cancellation
+        # chain — bf16x3 (3 MXU passes) replaces HIGHEST (6) safely
+        r = _dot_bf16x3(
+            vcol_ref[:, :], colors, (((0,), (0,)), ((), ())),
+        )  # [P, G]
         q = wgt * r
         pref_incl = (
             jnp.dot(q, tri, preferred_element_type=jnp.float32)

@@ -111,6 +111,48 @@ def _log1p_neg_fast(a, poly: bool = True):
     return e * _LN2 + ln_m
 
 
+_SPLIT_DOTS = _os.environ.get("TDGS_SPLIT_DOTS", "1") != "0"
+
+
+def _dot_bf16x3(a, b, dims):
+    """f32 dot at ~bf16x3 accuracy (rel err ~1e-5) in THREE MXU passes.
+
+    Mosaic lowers Precision.HIGHEST as bf16x6 and rejects Precision.HIGH
+    (NotImplementedError, measured) — this hand-rolled split is the
+    missing middle tier: hi·hi + hi·lo + lo·hi, where x_lo = x − bf16(x)
+    is exact in f32. TDGS_SPLIT_DOTS=0 restores HIGHEST for A/B."""
+    dg = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    if not _SPLIT_DOTS:
+        return dg(a, b, precision=jax.lax.Precision.HIGHEST)
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    a_lo = a - a_hi
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    b_lo = b - b_hi
+    # DEFAULT lowers each f32 dot to ONE bf16 pass (operands are already
+    # bf16-representable except the lo terms' trailing bits, ~2^-17 rel)
+    return dg(a_hi, b_hi) + (dg(a_hi, b_lo) + dg(a_lo, b_hi))
+
+
+def _dot_exact_rhs(a, b, dims):
+    """f32 dot, EXACT to f32 when b is exactly bf16-representable (one-hot
+    masks, 0/1 selectors), in THREE MXU passes instead of HIGHEST's six:
+    split a into three bf16 limbs covering all 24 mantissa bits."""
+    dg = functools.partial(
+        jax.lax.dot_general, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    )
+    if not _SPLIT_DOTS:
+        return dg(a, b, precision=jax.lax.Precision.HIGHEST)
+    a1 = a.astype(jnp.bfloat16).astype(jnp.float32)
+    r = a - a1
+    a2 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    a3 = r - a2
+    return dg(a1, b) + (dg(a2, b) + dg(a3, b))
+
+
 def _tri_upper_incl(g: int) -> jnp.ndarray:
     """M[j, k] = 1 iff j <= k: x @ M is an inclusive cumsum along lanes."""
     row = jax.lax.broadcasted_iota(jnp.int32, (g, g), 0)
@@ -539,16 +581,12 @@ def _bwd_chunk_grads(
     P_prev = _exp_fast(logP - logs, poly=False)
     w = jnp.where(included, alpha * P_prev, 0.0)
 
-    # HIGHEST is load-bearing: small-K (D=3) f32 dots lower to a single
-    # bf16 MXU pass by default (~1% error), and r's error feeds the
-    # suffix cancellation (totq − pref_incl) — see the matching comment
-    # in rasterize_2dgs_pallas. (Precision.HIGH/bf16x3 is unsupported by
-    # the Mosaic lowering — measured NotImplementedError.)
-    r = jax.lax.dot_general(
-        vcol, colors,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    # Precision matters: small-K (D=3) f32 dots lower to a single bf16
+    # MXU pass by default (~1% error), and r's error feeds the suffix
+    # cancellation (totq − pref_incl). bf16x3 (~1e-5 rel) suffices and
+    # costs 3 MXU passes vs HIGHEST's 6 — see _dot_bf16x3.
+    r = _dot_bf16x3(
+        vcol, colors, (((0,), (0,)), ((), ())),
     )  # [P, G]
     q = w * r
     pref_incl = (

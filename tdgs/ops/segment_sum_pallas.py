@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tdgs.ops.rasterize_pallas_packed import _dot_exact_rhs
+
 BLK = 128  # output block (ids per flush); also the Mosaic DMA alignment
 ENT = 512  # entries folded per grid step (bigger = less per-step overhead)
 WIN = 2 * BLK  # accumulator window: two output blocks
@@ -104,16 +106,15 @@ def _segsum_kernel(
         base, remaining = state
         rel = sids - base
         now = remaining * (rel < WIN).astype(jnp.float32)  # [1, ENT]
-        # HIGHEST: DEFAULT lowers this dot to one bf16 MXU pass and loses
-        # 1.8e-3 of gradient (measured at bench scale) — the one-hot is
-        # exact in bf16 but the f32 rows lose mantissa in the product.
-        # (Mosaic rejects Precision.HIGH, otherwise bf16x3 would suffice.)
+        # Precision matters: DEFAULT lowers this dot to one bf16 MXU pass
+        # and loses 1.8e-3 of gradient (measured at bench scale) — the
+        # one-hot is exact in bf16 but the f32 rows lose mantissa in the
+        # product. The one-hot RHS is exactly bf16-representable, so the
+        # 3-limb split (_dot_exact_rhs) matches HIGHEST bit-for-bit at 3
+        # MXU passes instead of 6.
         onehot_t = (iota_win == rel).astype(jnp.float32) * now
-        acc[:, :] += jax.lax.dot_general(
-            rows, onehot_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        acc[:, :] += _dot_exact_rhs(
+            rows, onehot_t, (((1,), (1,)), ((), ())),
         )
         remaining = remaining - now
 
