@@ -19,6 +19,7 @@ from tdgs.ops.projection import ALPHA_THRESHOLD
 from tdgs.ops.rasterize_jax import (
     ALPHA_CLAMP,
     TRANSMITTANCE_EPS,
+    absgrad_tap,
     gather_tile_gaussians,
 )
 
@@ -38,10 +39,16 @@ def rasterize_to_pixels_2dgs_jax(
     backgrounds: Optional[jnp.ndarray] = None,  # [..., D]
     tile_capacity: int = 512,
     compute_distort: bool = False,
+    absgrad_dummy: Optional[jnp.ndarray] = None,  # [I*N, 2] zeros
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (render_colors [..., H, W, D], render_alphas [..., H, W, 1],
     render_normals [..., H, W, 3] (camera frame), render_distort
-    [..., H, W, 1], render_median [..., H, W, 1])."""
+    [..., H, W, 1], render_median [..., H, W, 1]).
+
+    ``absgrad_dummy``: optional zeros whose gradient accumulates
+    |per-(gaussian, tile) screen gradients| (AbsGS, reference
+    RasterizeToPixels2DGSBwd.cu v_means2d_abs / rendering.py:1290 absgrad;
+    see rasterize_jax.absgrad_tap)."""
     image_dims = means2d.shape[:-2]
     N = means2d.shape[-2]
     D = colors.shape[-1]
@@ -61,6 +68,8 @@ def rasterize_to_pixels_2dgs_jax(
     T_tiles = gauss_ids.shape[0]
 
     g_means = means2d_f[gauss_ids]  # [T, cap, 2]
+    if absgrad_dummy is not None:
+        g_means = absgrad_tap(g_means, absgrad_dummy, gauss_ids, valid)
     g_M = M_f[gauss_ids]  # [T, cap, 3, 3]
     g_colors = colors_f[gauss_ids]
     g_normals = normals_f[gauss_ids]

@@ -347,6 +347,7 @@ def rasterize_to_pixels_2dgs_packed(
     tile_capacity: int = 1024,
     has_depth: bool = False,
     compute_distort: bool = False,
+    absgrad_dummy: Optional[jnp.ndarray] = None,  # [I*N, 2] zeros
 ) -> Tuple[jnp.ndarray, ...]:
     """Differentiable packed-stream 2DGS rasterization (training fast path).
 
@@ -399,6 +400,13 @@ def rasterize_to_pixels_2dgs_packed(
 
     feats = jax.lax.optimization_barrier(feats)
     rows = gather_rows_segsum(feats, ids, 12 + DA)
+    if absgrad_dummy is not None:
+        # AbsGS tap (reference RasterizeToPixels2DGSBwd.cu v_means2d_abs):
+        # rows' first two columns are the projected means, same layout as
+        # the 3DGS packed wrapper's tap
+        from tdgs.ops.rasterize_jax import absgrad_tap
+
+        rows = absgrad_tap(rows, absgrad_dummy, ids, entry_valid)
     packed = jax.lax.optimization_barrier(rows).T
     # zero padding slots' opacity AFTER the transpose (single-row update)
     packed = packed.at[11:12, :].multiply(

@@ -353,6 +353,7 @@ def rasterization_2dgs_sharded(
     max_tiles_per_gauss: int = 32,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [C, N, 2] gauss-sharded
+    means2d_abs_tap: Optional[jnp.ndarray] = None,  # [C, N, 2] gauss-sharded
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray,
            Dict]:
     """2DGS (surfel) counterpart of ``rasterization_sharded``: the same
@@ -361,7 +362,10 @@ def rasterization_2dgs_sharded(
     Returns (render_colors [C, H, W, D], render_alphas, render_normals,
     render_distort, render_median, meta), camera-sharded; differentiable
     w.r.t. all gaussian inputs through the all_to_all (median is
-    non-differentiable, as on one device)."""
+    non-differentiable, as on one device). ``means2d_abs_tap`` is the AbsGS
+    |grad| tap (same contract as ``rasterization_sharded``); the |·|
+    accumulations ride the all_to_all's transpose back to each gaussian's
+    owner device."""
     from tdgs.ops.projection_2dgs import fully_fused_projection_2dgs
 
     D_mesh = mesh.shape[axis_name]
@@ -373,12 +377,19 @@ def rasterization_2dgs_sharded(
     need_depth = distloss or render_mode == "RGB+ED"
     has_bkgd = backgrounds is not None
     has_offset = means2d_offset is not None
+    has_abs_tap = means2d_abs_tap is not None
+    if has_abs_tap:
+        assert rasterizer in ("packed", "jax"), (
+            "means2d_abs_tap is supported by the 'jax' and 'packed' "
+            "rasterizers (differentiable paths)"
+        )
 
     def local_fn(means, quats, scales, opacities, colors, viewmats, Ks,
                  *extras):
         extras = list(extras)
         bkgd_in = extras.pop(0) if has_bkgd else None
         offset_in = extras.pop(0) if has_offset else None  # [C, n, 2]
+        abs_tap_in = extras.pop(0) if has_abs_tap else None  # [C, n, 2]
         n = means.shape[0]
         viewmats_all = comm.all_gather(viewmats, axis_name)
         Ks_all = comm.all_gather(Ks, axis_name)
@@ -410,6 +421,7 @@ def rasterization_2dgs_sharded(
         radii_l = a2a(radii)
         means2d_l = a2a(means2d)
         depths_l = a2a(depths)
+        abs_tap_l = None if abs_tap_in is None else a2a(abs_tap_in)
         M_l = a2a(M.reshape(C, n, 9)).reshape(-1, N, 3, 3)
         normals_l = a2a(normals)
         opac_l = a2a(opac)
@@ -454,11 +466,18 @@ def rasterization_2dgs_sharded(
                 dist = jnp.zeros_like(alpha)
                 med = jnp.zeros_like(alpha)
             else:
+                extra_kw = {}
+                if abs_tap_l is not None:
+                    c_loc = radii_l.shape[0]
+                    extra_kw["absgrad_dummy"] = abs_tap_l.reshape(
+                        c_loc * N, 2
+                    )
                 img, alpha, nrm, dist, med = rasterize_to_pixels_2dgs_packed(
                     means2d_l, M_l, cols_l, normals_l, opac_l, width,
                     height, tile_size, isect.offsets, isect.flatten_ids,
                     backgrounds=bkgd, tile_capacity=tile_capacity,
                     has_depth=need_depth, compute_distort=distloss,
+                    **extra_kw,
                 )
         else:
             from tdgs.ops.rasterize_2dgs_jax import (
@@ -474,11 +493,16 @@ def rasterization_2dgs_sharded(
             offsets = isect_offset_encode(
                 isect.isect_keys, c_local, tile_width, tile_height
             )
+            extra_kw = {}
+            if abs_tap_l is not None:
+                c_loc = radii_l.shape[0]
+                extra_kw["absgrad_dummy"] = abs_tap_l.reshape(c_loc * N, 2)
             img, alpha, nrm, dist, med = rasterize_to_pixels_2dgs_jax(
                 means2d_l, M_l, cols_l, normals_l, opac_l, width, height,
                 tile_size, offsets, isect.flatten_ids, isect.n_isects,
                 backgrounds=bkgd, tile_capacity=tile_capacity,
                 compute_distort=distloss,
+                **extra_kw,
             )
         if need_depth and render_mode != "RGB+ED":
             img = img[..., :-1]  # drop the carried depth channel
@@ -499,6 +523,9 @@ def rasterization_2dgs_sharded(
     if has_offset:
         in_specs.append(P(None, axis_name))
         args.append(means2d_offset)
+    if has_abs_tap:
+        in_specs.append(P(None, axis_name))
+        args.append(means2d_abs_tap)
     shard = jax.shard_map(
         local_fn,
         mesh=mesh,

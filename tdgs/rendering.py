@@ -608,6 +608,7 @@ def rasterization_2dgs(
     isect_big_capacity: Optional[int] = None,
     rasterizer: str = "jax",
     means2d_offset: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
+    means2d_abs_tap: Optional[jnp.ndarray] = None,  # [..., C, N, 2]
     # --- reference drop-in kwargs (gsplat/rendering.py:1270 argument set) ---
     eps2d: float = 0.3,
     packed: Optional[bool] = None,
@@ -628,15 +629,20 @@ def rasterization_2dgs(
     dense masked here) are accepted and ignored. ``eps2d`` is accepted for
     signature parity — the reference's own 2DGS CUDA projection never reads
     it (Projection2DGSFused.cu takes no eps2d; only the wrapper signature
-    carries it), so it is ignored here too. ``absgrad`` has no 2DGS tap yet
-    and raises if True (use the 3DGS path's means2d_abs_tap pattern)."""
-    if absgrad:
+    carries it), so it is ignored here too. ``absgrad`` (AbsGS, reference
+    rendering.py:1290 → RasterizeToPixels2DGSBwd.cu v_means2d_abs) becomes
+    the explicit ``means2d_abs_tap`` exactly as in :func:`rasterization`:
+    pass zeros [..., C, N, 2]; the gradient of the loss w.r.t. it is the
+    per-gaussian accumulation of |per-tile screen gradients|. Supported by
+    the "jax" and "packed" rasterizers."""
+    if absgrad and means2d_abs_tap is None:
         raise ValueError(
-            "absgrad for 2DGS: not supported — densify on meta['means2d'] "
-            "gradients (the 2DGS trainer's default), or use the 3DGS "
-            "path's explicit means2d_abs_tap."
+            "absgrad: JAX has no tensor.grad side channel — pass "
+            "means2d_abs_tap=jnp.zeros(batch + (C, N, 2)) and take the "
+            "gradient of the loss w.r.t. that input (the trainer's "
+            "DefaultStrategy absgrad path shows the pattern)."
         )
-    del packed, sparse_grad, eps2d
+    del packed, sparse_grad, eps2d, absgrad
     from tdgs.ops.projection_2dgs import fully_fused_projection_2dgs
     from tdgs.ops.rasterize_2dgs_jax import rasterize_to_pixels_2dgs_jax
     from tdgs.utils.depth import depth_to_normal
@@ -720,6 +726,9 @@ def rasterization_2dgs(
             split_k=isect_split_k, big_capacity=isect_big_capacity,
         )
         if rasterizer == "packed":
+            extra = {}
+            if means2d_abs_tap is not None:
+                extra["absgrad_dummy"] = means2d_abs_tap.reshape(I * N, 2)
             (render_colors, render_alphas, render_normals_cam,
              render_distort, render_median) = rasterize_to_pixels_2dgs_packed(
                 means2d, ray_transforms, colors_cn, normals, opacities_cn,
@@ -728,8 +737,12 @@ def rasterization_2dgs(
                 tile_capacity=tile_capacity,
                 has_depth=need_depth,
                 compute_distort=distloss or need_depth,
+                **extra,
             )
         else:
+            assert means2d_abs_tap is None, (
+                "means2d_abs_tap requires a differentiable rasterizer"
+            )
             render_colors, render_alphas, render_normals_cam = (
                 rasterize_to_pixels_2dgs_packed_inference(
                     means2d, ray_transforms, colors_cn, normals,
@@ -763,6 +776,9 @@ def rasterization_2dgs(
             isect.isect_keys, I, tile_width, tile_height
         )
 
+        extra = {}
+        if means2d_abs_tap is not None:
+            extra["absgrad_dummy"] = means2d_abs_tap.reshape(I * N, 2)
         (render_colors, render_alphas, render_normals_cam, render_distort,
          render_median) = rasterize_to_pixels_2dgs_jax(
             means2d, ray_transforms, colors_cn, normals, opacities_cn,
@@ -770,6 +786,7 @@ def rasterization_2dgs(
             isect.n_isects, backgrounds=backgrounds,
             tile_capacity=tile_capacity,
             compute_distort=distloss or need_depth,
+            **extra,
         )
 
     if render_mode in ("ED", "RGB+ED"):

@@ -656,6 +656,7 @@ class Runner:
                         means2d_offset=(
                             means2d_offset if use_means2d_tap else None
                         ),
+                        means2d_abs_tap=abs_tap if use_absgrad else None,
                         tile_capacity=cfg.tile_capacity,
                         isect_capacity=cfg.isect_capacity,
                         max_tiles_per_gauss=cfg.max_tiles_per_gauss,
@@ -678,6 +679,7 @@ class Runner:
                         means2d_offset=(
                             means2d_offset if use_means2d_tap else None
                         ),
+                        means2d_abs_tap=abs_tap if use_absgrad else None,
                         tile_capacity=cfg.tile_capacity,
                         isect_capacity=cfg.isect_capacity,
                         max_tiles_per_gauss=cfg.max_tiles_per_gauss,
@@ -1064,10 +1066,9 @@ class Runner:
                 isinstance(self.strategy, DefaultStrategy)
                 and not cfg.with_eval3d
             )
-            # AbsGS: only the 3DGS fused path exposes the abs tap
-            use_absgrad = (
-                use_tap and self.strategy.absgrad and cfg.model_type != "2dgs"
-            )
+            # AbsGS (reference strategy/default.py absgrad, 2DGS trainer
+            # simple_trainer_2dgs.py:120): both model families expose the tap
+            use_absgrad = use_tap and self.strategy.absgrad
             lr_dict = {
                 k: jnp.float32(v) for k, v in self.optimizer.lr_at(step).items()
                 if k in self.splats

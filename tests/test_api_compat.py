@@ -133,6 +133,17 @@ def test_2dgs_reference_kwargs_accepted():
             means, quats, scales, opac, sh, viewmats, Ks, width, height,
             sh_degree=1, absgrad=True,
         )
+    # absgrad=True with the explicit tap is the supported spelling
+    # (reference rendering.py:1290 absgrad consumed by simple_trainer_2dgs)
+    N = means.shape[0]
+    out_abs = rasterization_2dgs(
+        means, quats, scales, opac, sh, viewmats, Ks, width, height,
+        sh_degree=1, absgrad=True,
+        means2d_abs_tap=jnp.zeros((viewmats.shape[0], N, 2)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_plain[0]), np.asarray(out_abs[0]), atol=1e-6
+    )
 
 
 def test_selective_adam_class_matches_transformation():
