@@ -572,9 +572,15 @@ def rasterization_eval3d_sharded(
     ftheta_coeffs=None,  # FThetaCameraDistortionParameters (static)
     rolling_shutter=None,  # RollingShutterType
     viewmats_rs: Optional[jnp.ndarray] = None,  # [C, 4, 4] camera-sharded
+    render_mode: str = "RGB",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Dict]:
     """World-space (eval3d / 3DGUT) sharded rendering — the multi-device
     counterpart of ``rasterization(..., rasterizer="eval3d_packed")``.
+
+    ``render_mode`` supports the full set (RGB / RGB+D / RGB+ED / D / ED):
+    depth rides the exchange as an extra accumulated channel exactly like
+    the single-device path (reference rendering.py:614-629 appends depth
+    channels before the eval3d rasterize at :668-759).
 
     Supports every central camera model of the single-device path
     (pinhole / OpenCV-distorted pinhole / fisheye / FTheta) plus the four
@@ -622,6 +628,9 @@ def rasterization_eval3d_sharded(
         )
     )
     colors_per_cam = sh_degree is None and colors.ndim == 3
+    assert render_mode in _RENDER_MODES, render_mode
+    need_depth = render_mode in ("D", "ED", "RGB+D", "RGB+ED")
+    depth_only = render_mode in ("D", "ED")
     tile_width = _math.ceil(width / tile_size)
     tile_height = _math.ceil(height / tile_size)
 
@@ -681,6 +690,10 @@ def rasterization_eval3d_sharded(
             shs = jnp.broadcast_to(colors[None], (C,) + colors.shape)
             cols = spherical_harmonics(sh_degree, dirs, shs, masks=masks)
             cols = jnp.maximum(cols + 0.5, 0.0)
+        if depth_only:
+            cols = depths[..., None]
+        elif need_depth:
+            cols = jnp.concatenate([cols, depths[..., None]], axis=-1)
         D_ch = cols.shape[-1]
 
         # world-space response features per (camera, local gaussian) —
@@ -774,10 +787,26 @@ def rasterization_eval3d_sharded(
         img = img[:, :height, :width, :]
         alp = alp[:, :height, :width]
         if bkgd_in is not None:
-            img = img + (1.0 - alp[..., None]) * bkgd_in.reshape(
+            bkgd = bkgd_in
+            if depth_only:
+                bkgd = jnp.zeros(bkgd.shape[:-1] + (1,), bkgd.dtype)
+            elif bkgd.shape[-1] < D_ch:  # zero background on depth channel
+                bkgd = jnp.concatenate(
+                    [bkgd, jnp.zeros(
+                        bkgd.shape[:-1] + (D_ch - bkgd.shape[-1],),
+                        bkgd.dtype,
+                    )], axis=-1,
+                )
+            img = img + (1.0 - alp[..., None]) * bkgd.reshape(
                 c_local, 1, 1, D_ch
             )
-        return img, alp[..., None], isect.n_dropped[None], radii
+        if render_mode in ("ED", "RGB+ED"):
+            img = jnp.concatenate(
+                [img[..., :-1],
+                 img[..., -1:] / jnp.maximum(alp[..., None], 1e-10)],
+                axis=-1,
+            )
+        return img, alp[..., None], isect.n_dropped[None], radii, means2d
 
     in_specs = [P(axis_name)] * 4
     in_specs.append(
@@ -798,13 +827,13 @@ def rasterization_eval3d_sharded(
         mesh=mesh,
         in_specs=tuple(in_specs),
         out_specs=(P(axis_name), P(axis_name), P(axis_name),
-                   P(None, axis_name)),
+                   P(None, axis_name), P(None, axis_name)),
         check_vma=False,
     )
-    img, alpha, n_dropped, radii = shard(*args)
+    img, alpha, n_dropped, radii, means2d_out = shard(*args)
     meta = {
         "n_dropped": n_dropped, "width": width, "height": height,
-        "radii": radii,
+        "radii": radii, "means2d": means2d_out,
     }
     return img, alpha, meta
 

@@ -106,9 +106,6 @@ class Runner:
             )
         if cfg.with_eval3d:
             assert cfg.model_type == "3dgs", "eval3d is a 3DGS render path"
-            assert not cfg.load_normals, (
-                "load_normals needs meta['means2d'] (2D path only)"
-            )
         self.cfg = cfg
         os.makedirs(cfg.result_dir, exist_ok=True)
         self.stats_dir = os.path.join(cfg.result_dir, "stats")
@@ -458,9 +455,6 @@ class Runner:
             if cfg.with_eval3d:
                 from tdgs.parallel import rasterization_eval3d_sharded
 
-                assert render_mode == "RGB", (
-                    "sharded eval3d train renders RGB (no depth channel)"
-                )
                 return rasterization_eval3d_sharded(
                     means, quats, scales, opacities, colors, viewmats, Ks,
                     width, height, self.mesh,
@@ -472,6 +466,7 @@ class Runner:
                     backgrounds=backgrounds,
                     camera_model=cfg.camera_model,
                     with_ut=cfg.with_ut,
+                    render_mode=render_mode,
                 )
             return rasterization_sharded(
                 means, quats, scales, opacities, colors, viewmats, Ks,

@@ -398,6 +398,23 @@ def test_sharded_eval3d_matches_single_device():
         assert np.isfinite(x).all(), name
         assert np.abs(x).max() > 0, name
 
+    # RGB+ED: the depth channel rides the exchange like the single-device
+    # path (carve-out lifted: depth in sharded eval3d training)
+    img_sd, alp_sd, meta_sd = rasterization_eval3d_sharded(
+        *args, width, height, mesh, sh_degree=1,
+        isect_capacity=1 << 13, tile_capacity=256, render_mode="RGB+ED",
+    )
+    img_rd, alp_rd, _ = rasterization(
+        *args, width, height, sh_degree=1, rasterizer="eval3d_packed",
+        isect_capacity=(1 << 13) * D, tile_capacity=256,
+        render_mode="RGB+ED",
+    )
+    assert img_sd.shape[-1] == 4
+    assert meta_sd["means2d"].shape == (C, N, 2)
+    np.testing.assert_allclose(
+        np.asarray(img_sd), np.asarray(img_rd), rtol=2e-3, atol=2e-3
+    )
+
 
 def test_replicated_render_matches_single_device():
     """Frame-parallel mode: gaussians replicated, cameras sharded — must

@@ -231,6 +231,68 @@ def test_sharded_load_normals_training(scene_dir, tmp_path):
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+def test_sharded_eval3d_depth_training(scene_dir, tmp_path):
+    """Carve-out lifted: depth channels through sharded eval3d training —
+    depth_loss renders RGB+ED via rasterization_eval3d_sharded (reference
+    appends depth through the same eval3d raster path,
+    gsplat/rendering.py:614-629,668-759)."""
+    import json
+    import os
+
+    cfg = _base_cfg(
+        scene_dir, tmp_path,
+        with_eval3d=True,
+        depth_loss=True,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+    )
+    runner = Runner(cfg)
+    out = runner.train()
+    losses = [h["loss"] for h in out["history"]]
+    assert np.isfinite(losses).all(), losses
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.result_dir, "metrics.jsonl"))
+    ]
+    dl = [r["train/depthloss"] for r in rows if "train/depthloss" in r]
+    assert dl and np.isfinite(dl).all(), rows
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+def test_sharded_eval3d_load_normals_training(scene_dir, tmp_path):
+    """Carve-out lifted: load_normals with eval3d — the monocular normal
+    loss samples maps at meta['means2d'], which the sharded eval3d render
+    now returns (pre-exchange projected centers, tiling projection)."""
+    import json
+    import os
+
+    ndir = os.path.join(scene_dir, "normals")
+    os.makedirs(ndir, exist_ok=True)
+    for name in os.listdir(os.path.join(scene_dir, "images")):
+        stem = os.path.splitext(name)[0]
+        nmap = np.zeros((48, 64, 3), np.float32)
+        nmap[..., 2] = 1.0
+        np.save(os.path.join(ndir, f"{stem}.npy"), nmap)
+
+    cfg = _base_cfg(
+        scene_dir, tmp_path,
+        with_eval3d=True,
+        load_normals=True,
+        start_normal_loss_step=2,
+        strategy=MCMCStrategy(cap_max=256, refine_start_iter=1000),
+    )
+    runner = Runner(cfg)
+    out = runner.train()
+    losses = [h["loss"] for h in out["history"]]
+    assert np.isfinite(losses).all(), losses
+    rows = [
+        json.loads(l)
+        for l in open(os.path.join(cfg.result_dir, "metrics.jsonl"))
+    ]
+    nl = [r for r in rows if "train/normalloss" in r]
+    assert nl and np.isfinite([r["train/normalloss"] for r in nl]).all()
+
+
+@pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
 def test_sharded_ut_fisheye_eval3d_training(scene_dir, tmp_path):
     """Carve-out lifted: with_ut + non-pinhole camera model under
     Config.sharded — UT tiling projection + world-space rays built from
