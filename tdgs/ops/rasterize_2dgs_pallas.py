@@ -45,7 +45,7 @@ from tdgs.ops.rasterize_pallas_packed import (
 )
 
 
-def _chunk_values_2dgs(buf, px, py, DA: int):
+def _chunk_values_2dgs(buf, px, py, DA: int, poly="global"):
     """Per-chunk α and accumulation channels from a [F, CHUNK] block.
 
     buf rows: 0 mx, 1 my, 2..10 the three precomputed cross products
@@ -76,7 +76,7 @@ def _chunk_values_2dgs(buf, px, py, DA: int):
     dy = my - py
     sigma2d = 2.0 * (dx * dx + dy * dy)
     sigma = 0.5 * jnp.minimum(sigma3d, sigma2d)
-    alpha = jnp.minimum(ALPHA_CLAMP, op * _exp_fast(-sigma))
+    alpha = jnp.minimum(ALPHA_CLAMP, op * _exp_fast(-sigma, poly))
     alpha = jnp.where(alpha < ALPHA_THRESHOLD, 0.0, alpha)
     return alpha, ch
 
@@ -525,13 +525,18 @@ def _fwd_kernel_2dgs_train(
 
         @pl.when(not_done)
         def _():
-            alpha, ch = _chunk_values_2dgs(window, px, py, DA)
+            # poly=True (forced): the round-4 A/B measured the polynomial
+            # transcendentals a ~6% win in THIS kernel only (the distortion
+            # /median accumulators keep the VPU port busy enough to expose
+            # HW-transcendental latency) and a loss everywhere else — see
+            # BENCH_BREAKDOWN_r04.md
+            alpha, ch = _chunk_values_2dgs(window, px, py, DA, poly=True)
             alpha = jnp.where(in_range, alpha, 0.0)
-            logs = _log1p_neg_fast(alpha)
+            logs = _log1p_neg_fast(alpha, poly=True)
             S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
             logP = S + lograw_ref[:, 0:1]
             included = logP > jnp.log(TRANSMITTANCE_EPS)
-            P_prev = _exp_fast(logP - logs)
+            P_prev = _exp_fast(logP - logs, poly=True)
             w = jnp.where(included, alpha * P_prev, 0.0)
             acc_ref[:, :] += jax.lax.dot_general(
                 ch, w,

@@ -45,29 +45,35 @@ from tdgs.ops.rasterize_jax import ALPHA_CLAMP, TRANSMITTANCE_EPS
 CHUNK = 128
 
 # --------------------------------------------------------------------------
-# Polynomial transcendentals (A/B: TDGS_POLY_EXP=0 restores HW exp/log).
-# The packed kernels are VPU-transcendental-bound (exp / log1p / exp per
-# [256 px, 128 entry] chunk — README perf ledger); these replace the HW
-# ops with exponent-bit splits + short polynomials.
+# Polynomial transcendentals — OFF by default (TDGS_POLY_EXP=1 opts in).
+# Round-3 micro-benchmarks measured wins in isolation ("2DGS fwd 21.5→17.3
+# ms"), but the round-3 driver bench regressed EVERY inference family
+# ~10-14% (BENCH_r03 vs r02); the round-4 A/B (BENCH_BREAKDOWN_r04.md)
+# pinned the whole regression on this knob: POLY=0 restores 50.3/40.3/50.3
+# fps (3dgs/exact/2dgs) vs 43.4/35.6/44.9 with POLY=1, identical chip. The
+# polynomial's extra VPU ops (bitcasts, fma chains) do not hide under the
+# fused fwd pipeline the way the HW transcendentals do.
 # --------------------------------------------------------------------------
 import os as _os
 
-_POLY_EXP = _os.environ.get("TDGS_POLY_EXP", "1") != "0"
+_POLY_EXP = _os.environ.get("TDGS_POLY_EXP", "0") != "0"
 _LOG2E = 1.4426950408889634
 _LN2 = 0.6931471805599453
 _SQRT2 = 1.4142135623730951
 
 
-def _exp_fast(x, poly: bool = True):
+def _exp_fast(x, poly="global"):
     """e^x for x ≤ 0 (compositing visibilities): 2^n·poly(f) with the 2^n
     scale built from exponent bits. Max rel err ~2.4e-6 on the live range
     (alpha threshold is 1/255 — orders of magnitude of slack).
 
-    ``poly=False`` keeps the HW op: the BACKWARD kernels are MXU-bound
-    (HIGHEST small-K dots), where HW transcendentals hide under the
-    matmuls and the poly's extra VPU ops only add load (measured: poly in
-    the 2DGS bwd cost +2.8 ms while saving 4.2 ms in the VPU-bound fwd)."""
-    if not (_POLY_EXP and poly):
+    ``poly``: "global" follows the TDGS_POLY_EXP env default, False always
+    keeps the HW op, True always takes the polynomial. The round-4 A/B
+    (BENCH_BREAKDOWN_r04.md) found the polynomial is a LOSS in every
+    forward kernel except the 2DGS *training* forward (whose distortion/
+    median accumulators keep the VPU busy enough to expose the HW
+    transcendental's latency), so only that kernel forces True."""
+    if poly is False or (poly == "global" and not _POLY_EXP):
         return jnp.exp(x)
     y = x * _LOG2E
     n = jnp.floor(y + 0.5)
@@ -85,11 +91,11 @@ def _exp_fast(x, poly: bool = True):
     return jnp.where(y < -125.0, 0.0, p * scale)
 
 
-def _log1p_neg_fast(a, poly: bool = True):
+def _log1p_neg_fast(a, poly="global"):
     """ln(1 − a) for a ∈ [0, 0.999] (per-entry log-transmittance):
     exponent/mantissa split + atanh series. Max rel err ~1e-7.
-    ``poly=False``: see _exp_fast."""
-    if not (_POLY_EXP and poly):
+    ``poly`` semantics: see _exp_fast."""
+    if poly is False or (poly == "global" and not _POLY_EXP):
         return jnp.log1p(-a)
     u = 1.0 - a  # exact in f32 (a ≤ 0.999; u ∈ [1e-3, 1])
     bits = pltpu.bitcast(u, jnp.int32)
@@ -187,7 +193,7 @@ def _pixel_coords(tile_size: int, tile_width: int, tiles_per_image: int, t):
     return px, py
 
 
-def _chunk_values(buf, px, py, D: int, poly: bool = True):
+def _chunk_values(buf, px, py, D: int, poly="global"):
     """Per-chunk α and colors from a [F, CHUNK] feature block.
 
     Returns (alpha [P, G], vis, dx, dy, conic rows [1, G], colors [D, G]).

@@ -68,6 +68,7 @@ def test_absgrad_with_tap_accepted():
     assert np.isfinite(np.asarray(img)).all()
 
 
+@pytest.mark.slow
 def test_distributed_kwarg_delegates_to_sharded():
     """distributed=True on the 8-device CPU mesh routes through
     rasterization_sharded and matches the single-device render."""

@@ -11,6 +11,7 @@ import os
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tdgs.compression import PngCompression
 
@@ -63,6 +64,7 @@ def test_png_compression_crops_to_square(tmp_path):
     assert kept_min >= orig_sorted[1000 - 961] - 5e-2
 
 
+@pytest.mark.slow
 def test_trainer_compression_and_ply_stages(tmp_path):
     """Runner.run_compression / Runner.export_ply (reference
     run_compression + ply_steps export)."""

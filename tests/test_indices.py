@@ -2,6 +2,7 @@
 'slow reference path' equivalence: _rasterization ≈ rasterization)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from tests.test_rasterize import make_raster_inputs
 from tests import oracles
 
 
+@pytest.mark.slow
 def test_index_path_matches_fused():
     rng = np.random.default_rng(150)
     tile_size = 16
@@ -51,6 +53,7 @@ def test_index_path_matches_fused():
     )
 
 
+@pytest.mark.slow
 def test_accumulate_differentiable():
     rng = np.random.default_rng(151)
     means2d, conics, colors, opacities, radii, depths, tw, th = (

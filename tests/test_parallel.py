@@ -24,6 +24,7 @@ def make_scene(rng, N=64, C=8):
     return means, quats, scales, opac, sh, viewmats, Ks
 
 
+@pytest.mark.slow
 def test_sharded_render_matches_single_device():
     rng = np.random.default_rng(60)
     means, quats, scales, opac, sh, viewmats, Ks = make_scene(rng)
@@ -85,6 +86,7 @@ def test_sharded_render_grads_flow_to_gaussians():
         assert np.abs(gs - gr).max() / scale < 1e-3
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("rasterizer", ["packed", "packed_inference"])
 def test_sharded_render_packed_matches_single_device(rasterizer):
     """The production packed rasterizers must work inside the shard_map
@@ -115,6 +117,7 @@ def test_sharded_render_packed_matches_single_device(rasterizer):
     )
 
 
+@pytest.mark.slow
 def test_sharded_render_full_options_match_single_device():
     """antialiased + RGB+ED + backgrounds parity with rasterization()."""
     rng = np.random.default_rng(62)
@@ -146,6 +149,7 @@ def test_sharded_render_full_options_match_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_render_packed_grads_match_single_device():
     rng = np.random.default_rng(63)
     means, quats, scales, opac, sh, viewmats, Ks = make_scene(rng, N=32)
@@ -180,6 +184,7 @@ def test_sharded_render_packed_grads_match_single_device():
         assert np.abs(np.asarray(gs)).max() > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("rasterizer", ["jax", "packed"])
 def test_sharded_2dgs_matches_single_device(rasterizer):
     """2DGS surfel rendering through the sharded exchange must match the
@@ -238,6 +243,7 @@ def test_sharded_2dgs_matches_single_device(rasterizer):
     )
 
 
+@pytest.mark.slow
 def test_sharded_2dgs_grads_flow_to_gaussians():
     from tdgs.parallel import rasterization_2dgs_sharded
 
@@ -336,6 +342,7 @@ def test_sharded_2dgs_absgrad_tap_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_sharded_eval3d_matches_single_device():
     """World-space (eval3d) rendering through the sharded exchange must
     match the single-device eval3d_packed path."""
@@ -416,6 +423,7 @@ def test_sharded_eval3d_matches_single_device():
     )
 
 
+@pytest.mark.slow
 def test_replicated_render_matches_single_device():
     """Frame-parallel mode: gaussians replicated, cameras sharded — must
     reproduce the single-device rasterization exactly (same code path per
@@ -448,6 +456,7 @@ def test_replicated_render_matches_single_device():
     assert meta_p["n_dropped"].shape == (jax.device_count(),)
 
 
+@pytest.mark.slow
 def test_sharded_2dgs_render_mode_ed_matches():
     """render_mode=RGB+ED through the sharded 2DGS exchange: the
     alpha-normalized expected-depth channel matches single-device."""
@@ -489,6 +498,7 @@ def test_sharded_2dgs_render_mode_ed_matches():
     )
 
 
+@pytest.mark.slow
 def test_sharded_2d_mesh_matches_single_device():
     """2-D (frame x gauss) mesh: cameras split over both axes, gaussians
     sharded on gauss and replicated over frame — the dp x tp composition.
@@ -604,6 +614,7 @@ def test_sharded_absgrad_tap_matches_single_device():
         )
 
 
+@pytest.mark.slow
 def test_sharded_per_camera_colors_matches_single_device():
     """Per-camera [C, N, D] colors (the appearance-MLP path) through the
     sharded exchange (carve-out lifted: trainer app_opt under sharded)."""
@@ -643,6 +654,7 @@ def test_sharded_per_camera_colors_matches_single_device():
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_sharded_meta_means2d_matches_single_device():
     """meta['means2d'] from the sharded render equals the single-device
     projection output and is differentiable (carve-out lifted:
@@ -686,6 +698,7 @@ def test_sharded_meta_means2d_matches_single_device():
     assert float(jnp.abs(g).max()) > 0
 
 
+@pytest.mark.slow
 def test_sharded_eval3d_fisheye_ut_matches_single_device():
     """Distorted-camera (fisheye + UT tiling) sharded eval3d matches the
     single-device eval3d_packed render (carve-out lifted: with_ut +

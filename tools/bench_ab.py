@@ -54,16 +54,19 @@ def main():
     args = make_scene(N)
     means, quats, scales, opacities, sh, viewmats, Ks = args
 
-    from tdgs.ops.tiling import derive_isect_capacity
+    try:
+        from tdgs.ops.tiling import derive_isect_capacity
 
-    cap = derive_isect_capacity(
-        means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
-        max_tiles_per_gauss=16,
-    )
-    cap_exact = derive_isect_capacity(
-        means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
-        max_tiles_per_gauss=None,
-    )
+        cap = derive_isect_capacity(
+            means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
+            max_tiles_per_gauss=16,
+        )
+        cap_exact = derive_isect_capacity(
+            means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
+            max_tiles_per_gauss=None,
+        )
+    except ImportError:  # pre-round-3 tree (bisect worktrees): r02's value
+        cap = cap_exact = 1_048_576
 
     def infer_frame(model):
         kw = dict(
@@ -132,9 +135,11 @@ def main():
         dt = time.perf_counter() - t0
         out[model] = round(N_FRAMES / dt, 2)
 
-    out["knobs"] = {
-        "POLY_EXP": os.environ.get("TDGS_POLY_EXP", "1"),
-        "SPLIT_DOTS": os.environ.get("TDGS_SPLIT_DOTS", "1"),
+    from tdgs.ops import rasterize_pallas_packed as _rpp
+
+    out["knobs"] = {  # read the bound values, not the env defaults
+        "POLY_EXP": "1" if _rpp._POLY_EXP else "0",
+        "SPLIT_DOTS": "1" if _rpp._SPLIT_DOTS else "0",
     }
     print(json.dumps(out))
 
