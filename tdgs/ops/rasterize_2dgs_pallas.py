@@ -613,6 +613,7 @@ def _bwd_kernel_2dgs_unaligned(
     prefq_ref,  # [P, 1]
     aprev_ref,  # [P, 1]
     bprev_ref,  # [P, 1]
+    gbuf,  # scratch [F, CHUNK] per-chunk grads (zeroed when saturated)
     *,
     tile_size: int, tile_width: int, tiles_per_image: int,
     max_chunks: int, DA: int, depth_row: int, compute_distort: bool,
@@ -707,126 +708,138 @@ def _bwd_kernel_2dgs_unaligned(
         in_range = lane + k * CHUNK < count
         window = jnp.where(in_range, window, 0.0)
 
-        alpha, ch, (tmpx, tmpy, rtz, sigma3d, dx, dy, use3d, vis, op) = (
-            _chunk_values_2dgs_full(window, px, py, DA)
-        )
-        one_minus = 1.0 - alpha
-        logs = _log1p_neg_fast(alpha, poly=False)
-        S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
-        logP = S + lograw_ref[:, 0:1]
-        included = logP > jnp.log(TRANSMITTANCE_EPS)
-        P_prev = _exp_fast(logP - logs, poly=False)
-        w = jnp.where(included, alpha * P_prev, 0.0)
+        # chunk-level saturation exit mirroring the forward's not_done
+        # gate: entries past full saturation were never composited, so
+        # their grads are exactly zero — skip the math, stream zeros
+        # through the write protocol (round 4)
+        not_done = jnp.max(lograw_ref[:, 0:1]) > jnp.log(TRANSMITTANCE_EPS)
 
-        # Precision matters: Mosaic runs small-K (DA) f32 contractions as
-        # single bf16 MXU passes by default; r's ~1% error feeds the
-        # suffix cancellation (totq − pref_incl) and decorrelates the
-        # geometry grads at scale (measured cos 0.17 on quats/scales).
-        # bf16x3 (~1e-5 rel) suffices at 3 MXU passes vs HIGHEST's 6.
-        r = _dot_bf16x3(
-            vch_ref[:, :], ch, (((0,), (0,)), ((), ())),
-        )  # [P, G]
-        g_d_extra = None
-        if compute_distort and depth_row >= 0:
-            d = ch[depth_row : depth_row + 1, :]
-            wd = w * d
-            # one [2P, G] strict-prefix matmul for both running sums
-            # (separate [P, G] tri matmuls pay the MXU fill twice)
-            P_px = w.shape[0]
-            AB = jnp.dot(
-                jnp.concatenate([w, wd], axis=0), tri_x,
+        @pl.when(~not_done)
+        def _():
+            gbuf[:, :] = jnp.zeros_like(gbuf)
+
+        @pl.when(not_done)
+        def _():
+            alpha, ch, (tmpx, tmpy, rtz, sigma3d, dx, dy, use3d, vis, op) = (
+                _chunk_values_2dgs_full(window, px, py, DA)
+            )
+            one_minus = 1.0 - alpha
+            logs = _log1p_neg_fast(alpha, poly=False)
+            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+            logP = S + lograw_ref[:, 0:1]
+            included = logP > jnp.log(TRANSMITTANCE_EPS)
+            P_prev = _exp_fast(logP - logs, poly=False)
+            w = jnp.where(included, alpha * P_prev, 0.0)
+
+            # Precision matters: Mosaic runs small-K (DA) f32 contractions as
+            # single bf16 MXU passes by default; r's ~1% error feeds the
+            # suffix cancellation (totq − pref_incl) and decorrelates the
+            # geometry grads at scale (measured cos 0.17 on quats/scales).
+            # bf16x3 (~1e-5 rel) suffices at 3 MXU passes vs HIGHEST's 6.
+            r = _dot_bf16x3(
+                vch_ref[:, :], ch, (((0,), (0,)), ((), ())),
+            )  # [P, G]
+            g_d_extra = None
+            if compute_distort and depth_row >= 0:
+                d = ch[depth_row : depth_row + 1, :]
+                wd = w * d
+                # one [2P, G] strict-prefix matmul for both running sums
+                # (separate [P, G] tri matmuls pay the MXU fill twice)
+                P_px = w.shape[0]
+                AB = jnp.dot(
+                    jnp.concatenate([w, wd], axis=0), tri_x,
+                    preferred_element_type=jnp.float32,
+                )
+                Ax = AB[:P_px] + aprev_ref[:, 0:1]
+                Bx = AB[P_px:] + bprev_ref[:, 0:1]
+                vd = vd_col
+                r_dist = 2.0 * (d * Ax - Bx) + 2.0 * (
+                    (btot_col - Bx - wd) - d * (a_tot - Ax - w)
+                )
+                r = r + vd * r_dist
+                g_d_extra = vd * (2.0 * w * (2.0 * Ax + w - a_tot))  # [P, G]
+                aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
+                bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
+
+            q = w * r
+            pref_incl = (
+                jnp.dot(q, tri, preferred_element_type=jnp.float32)
+                + prefq_ref[:, 0:1]
+            )
+            suffix = totq_col - pref_incl
+            ra = 1.0 / one_minus
+            v_alpha = r * P_prev - suffix * ra + va_tfin * ra
+            live = included & (alpha > 0.0)
+            v_alpha = jnp.where(live, v_alpha, 0.0)
+
+            unclamped = (op * vis) <= ALPHA_CLAMP
+            v_sigma = jnp.where(unclamped, -op * vis * v_alpha, 0.0)
+            v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
+
+            v_s3 = jnp.where(use3d, v_sigma, 0.0)
+            v_s2 = jnp.where(use3d, 0.0, v_sigma)
+
+            # All 12 geometry/opacity row-reductions collapse into ONE MXU
+            # moment matmul against the [1, pxl, pyl] tile-local basis (the
+            # 3DGS kernel's pixel-moment trick, _bwd_chunk_grads): every
+            # needed row is a moment of one of five per-(pixel, entry)
+            # fields. Tile-local coordinates keep the basis representable in
+            # the MXU's bf16 passes (global px would round at 2^-8).
+            rtz2 = rtz * rtz
+            v_tmpx = v_s3 * tmpx * rtz2
+            v_tmpy = v_s3 * tmpy * rtz2
+            v_tmpz = -v_s3 * sigma3d * rtz
+            fields = jnp.concatenate(
+                [v_tmpx, v_tmpy, v_tmpz, v_s2, v_op], axis=1
+            )  # [P, 5G]
+            basis3 = _pixel_moment_basis(tile_size)[0:3]  # [3, P]
+            mom = jax.lax.dot_general(
+                basis3, fields,
+                dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
-            Ax = AB[:P_px] + aprev_ref[:, 0:1]
-            Bx = AB[P_px:] + bprev_ref[:, 0:1]
-            vd = vd_col
-            r_dist = 2.0 * (d * Ax - Bx) + 2.0 * (
-                (btot_col - Bx - wd) - d * (a_tot - Ax - w)
-            )
-            r = r + vd * r_dist
-            g_d_extra = vd * (2.0 * w * (2.0 * Ax + w - a_tot))  # [P, G]
-            aprev_ref[:, :] += jnp.sum(w, axis=1, keepdims=True)
-            bprev_ref[:, :] += jnp.sum(wd, axis=1, keepdims=True)
+            )  # [3, 5G]: rows (Σ·1, Σ·pxl, Σ·pyl) per field
+            t_in_img = t % tiles_per_image
+            tx0 = ((t_in_img % tile_width) * tile_size).astype(jnp.float32)
+            ty0 = ((t_in_img // tile_width) * tile_size).astype(jnp.float32)
 
-        q = w * r
-        pref_incl = (
-            jnp.dot(q, tri, preferred_element_type=jnp.float32)
-            + prefq_ref[:, 0:1]
-        )
-        suffix = totq_col - pref_incl
-        ra = 1.0 / one_minus
-        v_alpha = r * P_prev - suffix * ra + va_tfin * ra
-        live = included & (alpha > 0.0)
-        v_alpha = jnp.where(live, v_alpha, 0.0)
+            def mrow(i, f):  # moment i of field f, [1, G]
+                return mom[i : i + 1, f * CHUNK : (f + 1) * CHUNK]
 
-        unclamped = (op * vis) <= ALPHA_CLAMP
-        v_sigma = jnp.where(unclamped, -op * vis * v_alpha, 0.0)
-        v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
-
-        v_s3 = jnp.where(use3d, v_sigma, 0.0)
-        v_s2 = jnp.where(use3d, 0.0, v_sigma)
-
-        # All 12 geometry/opacity row-reductions collapse into ONE MXU
-        # moment matmul against the [1, pxl, pyl] tile-local basis (the
-        # 3DGS kernel's pixel-moment trick, _bwd_chunk_grads): every
-        # needed row is a moment of one of five per-(pixel, entry)
-        # fields. Tile-local coordinates keep the basis representable in
-        # the MXU's bf16 passes (global px would round at 2^-8).
-        rtz2 = rtz * rtz
-        v_tmpx = v_s3 * tmpx * rtz2
-        v_tmpy = v_s3 * tmpy * rtz2
-        v_tmpz = -v_s3 * sigma3d * rtz
-        fields = jnp.concatenate(
-            [v_tmpx, v_tmpy, v_tmpz, v_s2, v_op], axis=1
-        )  # [P, 5G]
-        basis3 = _pixel_moment_basis(tile_size)[0:3]  # [3, P]
-        mom = jax.lax.dot_general(
-            basis3, fields,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [3, 5G]: rows (Σ·1, Σ·pxl, Σ·pyl) per field
-        t_in_img = t % tiles_per_image
-        tx0 = ((t_in_img % tile_width) * tile_size).astype(jnp.float32)
-        ty0 = ((t_in_img // tile_width) * tile_size).astype(jnp.float32)
-
-        def mrow(i, f):  # moment i of field f, [1, G]
-            return mom[i : i + 1, f * CHUNK : (f + 1) * CHUNK]
-
-        mx = window[0:1, :]
-        my = window[1:2, :]
-        rows = []
-        # g_mx = Σ 2 v_s2 (mx − px) = 2((mx − tx0)·m0 − m_pxl)
-        rows.append(2.0 * ((mx - tx0) * mrow(0, 3) - mrow(1, 3)))
-        rows.append(2.0 * ((my - ty0) * mrow(0, 3) - mrow(2, 3)))
-        # NB do not rebind `k` here — it is the fori_loop induction var
-        for f in range(3):  # g_t0 = Σ v_tmp
-            rows.append(mrow(0, f))
-        for f in range(3):  # g_tpx = Σ v_tmp·px = tx0·m0 + m_pxl
-            rows.append(tx0 * mrow(0, f) + mrow(1, f))
-        for f in range(3):  # g_tpy
-            rows.append(ty0 * mrow(0, f) + mrow(2, f))
-        rows.append(mrow(0, 4))  # g_op = Σ v_op
-        g_ch = jnp.dot(
-            vch_ref[:, :], w, preferred_element_type=jnp.float32
-        )  # [DA, G]
-        if g_d_extra is not None:
-            onehot = (
-                jax.lax.broadcasted_iota(jnp.int32, (DA, 1), 0) == depth_row
-            ).astype(jnp.float32)
-            g_ch = g_ch + onehot * jnp.sum(g_d_extra, axis=0, keepdims=True)
-        gout = jnp.concatenate(rows + [g_ch], axis=0)  # [12 + DA, G]
-        pad_rows = obuf.shape[1] - gout.shape[0]
-        if pad_rows:
-            gout = jnp.concatenate(
-                [gout, jnp.zeros((pad_rows, gout.shape[1]), gout.dtype)],
-                axis=0,
-            )
-        gout = jnp.where(in_range, gout, 0.0)
-        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
-        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+            mx = window[0:1, :]
+            my = window[1:2, :]
+            rows = []
+            # g_mx = Σ 2 v_s2 (mx − px) = 2((mx − tx0)·m0 − m_pxl)
+            rows.append(2.0 * ((mx - tx0) * mrow(0, 3) - mrow(1, 3)))
+            rows.append(2.0 * ((my - ty0) * mrow(0, 3) - mrow(2, 3)))
+            # NB do not rebind `k` here — it is the fori_loop induction var
+            for f in range(3):  # g_t0 = Σ v_tmp
+                rows.append(mrow(0, f))
+            for f in range(3):  # g_tpx = Σ v_tmp·px = tx0·m0 + m_pxl
+                rows.append(tx0 * mrow(0, f) + mrow(1, f))
+            for f in range(3):  # g_tpy
+                rows.append(ty0 * mrow(0, f) + mrow(2, f))
+            rows.append(mrow(0, 4))  # g_op = Σ v_op
+            g_ch = jnp.dot(
+                vch_ref[:, :], w, preferred_element_type=jnp.float32
+            )  # [DA, G]
+            if g_d_extra is not None:
+                onehot = (
+                    jax.lax.broadcasted_iota(jnp.int32, (DA, 1), 0) == depth_row
+                ).astype(jnp.float32)
+                g_ch = g_ch + onehot * jnp.sum(g_d_extra, axis=0, keepdims=True)
+            gout = jnp.concatenate(rows + [g_ch], axis=0)  # [12 + DA, G]
+            pad_rows = obuf.shape[1] - gout.shape[0]
+            if pad_rows:
+                gout = jnp.concatenate(
+                    [gout, jnp.zeros((pad_rows, gout.shape[1]), gout.dtype)],
+                    axis=0,
+                )
+            gbuf[:, :] = jnp.where(in_range, gout, 0.0)
+            prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
+            lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
 
         # rotate grads back to raw chunk positions (see the 3DGS kernel)
-        rolled = pltpu.roll(gout, s0, 1)
+        rolled = pltpu.roll(gbuf[:, :], s0, 1)
         complete = k * CHUNK + (CHUNK - s0) <= count
 
         @pl.when(complete)
@@ -1034,6 +1047,7 @@ def _raster_2dgs_unaligned_bwd(
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((F, CHUNK), jnp.float32),  # per-chunk grads
         ],
     )
     (v_packed,) = pl.pallas_call(

@@ -406,6 +406,14 @@ def rasterize_to_pixels_eval3d_packed(
     )
     capacity = flatten_ids.shape[0]
     pad = (-capacity) % CHUNK + CHUNK  # slack so the last window DMA fits
+    # Measured stride cliff (BENCH_BREAKDOWN_r04.md "Resolution"): with the
+    # packed stream narrower than T_total·CHUNK entries the eval3d kernels
+    # run ~12% slower end-to-end (34.4 → 30.3 fps at 1080p/200k; every
+    # probed capacity below 8160·128 was slow, everything at/above it
+    # fast, same code). Pad the minor dim across the cliff — the pad region
+    # is never read (reads are bounded by offsets) and costs ~1 MB.
+    if capacity + pad < T_total * CHUNK + CHUNK:
+        pad = T_total * CHUNK + CHUNK - capacity
     flatten_ids = jnp.pad(flatten_ids, (0, pad))
     # gather VJP = payload-sort + streaming segment-sum (see
     # tdgs/ops/segment_sum_pallas.py); live columns = w(3) mAm(1)
@@ -497,6 +505,7 @@ def _bwd_kernel_eval3d_unaligned(
     cflag,  # scratch SMEM [1] int32 carry-valid flag (persists)
     lograw_ref,  # [P, 1]
     prefq_ref,  # [P, 1]
+    gbuf,  # scratch [Fv, CHUNK] per-chunk grads (zeroed when saturated)
     *,
     max_chunks: int,
     D: int,
@@ -615,109 +624,127 @@ def _bwd_kernel_eval3d_unaligned(
         in_range = lane + k * CHUNK < count
         window = jnp.where(in_range, window, 0.0)
 
-        w_rows = window[0:3, :]  # [3, G] Σ⁻¹μ'
-        mAm = window[3:4, :]
-        p6 = window[4:10, :]
-        op = window[10:11, :]
-        colors = window[11 : 11 + D, :]
+        # Chunk-level saturation exit, mirroring the forward kernel's
+        # not_done gate: once every pixel's transmittance is below eps,
+        # the forward never composited the remaining entries (its own
+        # not_done skip), so every gradient this chunk would emit is
+        # exactly zero — skip the recompute + six HIGHEST matmuls and
+        # stream zeros through the carry-chunk write protocol instead
+        # (round 4; the bwd kernels previously ground through pure-zero
+        # math on saturated tails).
+        not_done = jnp.max(lograw_ref[:, 0:1]) > jnp.log(TRANSMITTANCE_EPS)
 
-        # recompute the forward response (central: o' ≡ 0, see fwd kernel)
-        if central:
-            gr = -mm(d, w_rows)  # [P, G]
-            gg = mAm
-        else:
-            gr = mm(od6, p6) - mm(d, w_rows)  # [P, G]
-            gg = mm(oo6, p6) - 2.0 * mm(o, w_rows) + mAm
-        rr_raw = mm(dd6, p6)
-        rr = jnp.maximum(rr_raw, 1e-12)
-        sigma = 0.5 * (gg - gr * gr / rr)
-        vis = _exp_fast(-jnp.maximum(sigma, 0.0), poly=False)
-        alpha_raw = op * vis
-        alpha = jnp.minimum(ALPHA_CLAMP, alpha_raw)
-        alpha = jnp.where(
-            (gr < 0.0) & (alpha >= ALPHA_THRESHOLD) & in_range, alpha, 0.0
-        )
+        @pl.when(~not_done)
+        def _():
+            gbuf[:, :] = jnp.zeros_like(gbuf)
 
-        one_minus = 1.0 - alpha
-        logs = _log1p_neg_fast(alpha, poly=False)
-        S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
-        logP = S + lograw_ref[:, 0:1]
-        included = logP > jnp.log(TRANSMITTANCE_EPS)
-        P_prev = _exp_fast(logP - logs, poly=False)
-        wgt = jnp.where(included, alpha * P_prev, 0.0)
+        @pl.when(not_done)
+        def _():
+            w_rows = window[0:3, :]  # [3, G] Σ⁻¹μ'
+            mAm = window[3:4, :]
+            p6 = window[4:10, :]
+            op = window[10:11, :]
+            colors = window[11 : 11 + D, :]
 
-        # color contraction: O(1) magnitudes, NOT the σ* cancellation
-        # chain — bf16x3 (3 MXU passes) replaces HIGHEST (6) safely
-        r = _dot_bf16x3(
-            vcol_ref[:, :], colors, (((0,), (0,)), ((), ())),
-        )  # [P, G]
-        q = wgt * r
-        pref_incl = (
-            jnp.dot(q, tri, preferred_element_type=jnp.float32)
-            + prefq_ref[:, 0:1]
-        )
-        suffix = totq_ref[:, 0:1] - pref_incl
-        ra = 1.0 / one_minus
-        v_alpha = r * P_prev - suffix * ra + va_tfin * ra
-        live = included & (alpha > 0.0)
-        v_alpha = jnp.where(live, v_alpha, 0.0)
-
-        unclamped = alpha_raw <= ALPHA_CLAMP
-        v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
-        v_sigma = jnp.where(
-            unclamped & (sigma > 0.0), -alpha_raw * v_alpha, 0.0
-        )
-        v_gg = 0.5 * v_sigma
-        gr_rr = gr / rr
-        v_gr = -gr_rr * v_sigma
-        v_rr = jnp.where(
-            rr_raw >= 1e-12, 0.5 * gr_rr * gr_rr * v_sigma, 0.0
-        )
-
-        # per-entry feature grads
-        if central:
-            v_w = -mmp(d, v_gr)  # [3, G]
-            v_p6 = mmp(dd6, v_rr)  # [6, G]
-        else:
-            v_w = -mmp(d, v_gr) - 2.0 * mmp(o, v_gg)  # [3, G]
-            v_p6 = mmp(od6, v_gr) + mmp(dd6, v_rr) + mmp(oo6, v_gg)
-        v_mAm = jnp.sum(v_gg, axis=0, keepdims=True)  # [1, G]
-        v_op_row = jnp.sum(v_op, axis=0, keepdims=True)
-        v_colors = jnp.dot(
-            vcol_ref[:, :], wgt, preferred_element_type=jnp.float32
-        )  # [D, G]
-        gout = jnp.concatenate(
-            [v_w, v_mAm, v_p6, v_op_row, v_colors], axis=0
-        )  # [11 + D, G]
-        if Fv > gout.shape[0]:
-            gout = jnp.concatenate(
-                [gout, jnp.zeros((Fv - gout.shape[0], CHUNK), jnp.float32)],
-                axis=0,
+            # recompute the forward response (central: o' ≡ 0, see fwd)
+            if central:
+                gr = -mm(d, w_rows)  # [P, G]
+                gg = mAm
+            else:
+                gr = mm(od6, p6) - mm(d, w_rows)  # [P, G]
+                gg = mm(oo6, p6) - 2.0 * mm(o, w_rows) + mAm
+            rr_raw = mm(dd6, p6)
+            rr = jnp.maximum(rr_raw, 1e-12)
+            sigma = 0.5 * (gg - gr * gr / rr)
+            vis = _exp_fast(-jnp.maximum(sigma, 0.0), poly=False)
+            alpha_raw = op * vis
+            alpha = jnp.minimum(ALPHA_CLAMP, alpha_raw)
+            alpha = jnp.where(
+                (gr < 0.0) & (alpha >= ALPHA_THRESHOLD) & in_range,
+                alpha, 0.0,
             )
-        gout = jnp.where(in_range, gout, 0.0)
 
-        # per-tile ray grads (pixel-wise contractions over entries).
-        # central: o' ≡ 0 kills the G6_gr·o term of v_d, and v_o is
-        # discarded upstream (o_prime is a constant zeros array), so only
-        # W3_gr and G6_rr survive.
-        G6_rr = mmg(p6, v_rr)  # [6, P] = Σ_g prec6·v_rr
-        W3_gr = mmg(w_rows, v_gr)  # [3, P] = Σ_g w·v_gr
-        if central:
-            v_d = -W3_gr + 2.0 * _pv(G6_rr, d)
-        else:
-            G6_gr = mmg(p6, v_gr)
-            G6_gg = mmg(p6, v_gg)
-            W3_gg = mmg(w_rows, v_gg)
-            v_d = _pv(G6_gr, o) - W3_gr + 2.0 * _pv(G6_rr, d)
-            v_o = _pv(G6_gr, d) + 2.0 * (_pv(G6_gg, o) - W3_gg)
-            vrays_ref[3:6, :] += v_o
-        vrays_ref[0:3, :] += v_d
+            one_minus = 1.0 - alpha
+            logs = _log1p_neg_fast(alpha, poly=False)
+            S = jnp.dot(logs, tri, preferred_element_type=jnp.float32)
+            logP = S + lograw_ref[:, 0:1]
+            included = logP > jnp.log(TRANSMITTANCE_EPS)
+            P_prev = _exp_fast(logP - logs, poly=False)
+            wgt = jnp.where(included, alpha * P_prev, 0.0)
 
-        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
-        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+            # color contraction: O(1) magnitudes, NOT the σ* cancellation
+            # chain — bf16x3 (3 MXU passes) replaces HIGHEST (6) safely
+            r = _dot_bf16x3(
+                vcol_ref[:, :], colors, (((0,), (0,)), ((), ())),
+            )  # [P, G]
+            q = wgt * r
+            pref_incl = (
+                jnp.dot(q, tri, preferred_element_type=jnp.float32)
+                + prefq_ref[:, 0:1]
+            )
+            suffix = totq_ref[:, 0:1] - pref_incl
+            ra = 1.0 / one_minus
+            v_alpha = r * P_prev - suffix * ra + va_tfin * ra
+            live = included & (alpha > 0.0)
+            v_alpha = jnp.where(live, v_alpha, 0.0)
+
+            unclamped = alpha_raw <= ALPHA_CLAMP
+            v_op = jnp.where(unclamped, vis * v_alpha, 0.0)
+            v_sigma = jnp.where(
+                unclamped & (sigma > 0.0), -alpha_raw * v_alpha, 0.0
+            )
+            v_gg = 0.5 * v_sigma
+            gr_rr = gr / rr
+            v_gr = -gr_rr * v_sigma
+            v_rr = jnp.where(
+                rr_raw >= 1e-12, 0.5 * gr_rr * gr_rr * v_sigma, 0.0
+            )
+
+            # per-entry feature grads
+            if central:
+                v_w = -mmp(d, v_gr)  # [3, G]
+                v_p6 = mmp(dd6, v_rr)  # [6, G]
+            else:
+                v_w = -mmp(d, v_gr) - 2.0 * mmp(o, v_gg)  # [3, G]
+                v_p6 = mmp(od6, v_gr) + mmp(dd6, v_rr) + mmp(oo6, v_gg)
+            v_mAm = jnp.sum(v_gg, axis=0, keepdims=True)  # [1, G]
+            v_op_row = jnp.sum(v_op, axis=0, keepdims=True)
+            v_colors = jnp.dot(
+                vcol_ref[:, :], wgt, preferred_element_type=jnp.float32
+            )  # [D, G]
+            gout = jnp.concatenate(
+                [v_w, v_mAm, v_p6, v_op_row, v_colors], axis=0
+            )  # [11 + D, G]
+            if Fv > gout.shape[0]:
+                gout = jnp.concatenate(
+                    [gout,
+                     jnp.zeros((Fv - gout.shape[0], CHUNK), jnp.float32)],
+                    axis=0,
+                )
+            gbuf[:, :] = jnp.where(in_range, gout, 0.0)
+
+            # per-tile ray grads (pixel-wise contractions over entries).
+            # central: o' ≡ 0 kills the G6_gr·o term of v_d, and v_o is
+            # discarded upstream (o_prime is a constant zeros array), so
+            # only W3_gr and G6_rr survive.
+            G6_rr = mmg(p6, v_rr)  # [6, P] = Σ_g prec6·v_rr
+            W3_gr = mmg(w_rows, v_gr)  # [3, P] = Σ_g w·v_gr
+            if central:
+                v_d = -W3_gr + 2.0 * _pv(G6_rr, d)
+            else:
+                G6_gr = mmg(p6, v_gr)
+                G6_gg = mmg(p6, v_gg)
+                W3_gg = mmg(w_rows, v_gg)
+                v_d = _pv(G6_gr, o) - W3_gr + 2.0 * _pv(G6_rr, d)
+                v_o = _pv(G6_gr, d) + 2.0 * (_pv(G6_gg, o) - W3_gg)
+                vrays_ref[3:6, :] += v_o
+            vrays_ref[0:3, :] += v_d
+
+            prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
+            lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
 
         # rotate grads back to raw chunk positions (see the 3DGS kernel)
-        rolled = pltpu.roll(gout, s0, 1)
+        rolled = pltpu.roll(gbuf[:, :], s0, 1)
         complete = k * CHUNK + (CHUNK - s0) <= count
 
         @pl.when(complete)
@@ -894,6 +921,7 @@ def _raster_eval3d_bwd(n_total_tiles, max_chunks, d, p, central, residuals,
             pltpu.SMEM((1,), jnp.int32),  # carry-valid flag
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((Fv, CHUNK), jnp.float32),  # per-chunk grads
         ],
     )
     v_packed, v_rays = pl.pallas_call(

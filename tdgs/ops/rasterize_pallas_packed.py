@@ -658,6 +658,7 @@ def _bwd_kernel_unaligned(
     cflag,  # scratch SMEM [1] int32 carry-valid flag (persists)
     lograw_ref,  # [P, 1]
     prefq_ref,  # [P, 1]
+    gbuf,  # scratch [Fv, CHUNK] per-chunk grads (zeroed when saturated)
     *,
     tile_size: int,
     tile_width: int,
@@ -749,23 +750,37 @@ def _bwd_kernel_unaligned(
         in_range = lane + k * CHUNK < count
         window = jnp.where(in_range, window, 0.0)
 
-        gout, q, logs = _bwd_chunk_grads(
-            window, px, py, tri, lograw_ref[:, 0:1], prefq_ref[:, 0:1],
-            vcol_ref[:, :], va_tfin, totq_col,
-            tx0, ty0, tile_size, D,
-        )
-        gout = jnp.where(in_range, gout, 0.0)
-        if Fv > gout.shape[0]:
-            gout = jnp.concatenate(
-                [gout, jnp.zeros((Fv - gout.shape[0], CHUNK), jnp.float32)],
-                axis=0,
+        # chunk-level saturation exit mirroring the forward's not_done
+        # gate: entries past full saturation were never composited, so
+        # their grads are exactly zero — skip the math, stream zeros
+        # through the write protocol (round 4)
+        not_done = jnp.max(lograw_ref[:, 0:1]) > jnp.log(TRANSMITTANCE_EPS)
+
+        @pl.when(~not_done)
+        def _():
+            gbuf[:, :] = jnp.zeros_like(gbuf)
+
+        @pl.when(not_done)
+        def _():
+            gout, q, logs = _bwd_chunk_grads(
+                window, px, py, tri, lograw_ref[:, 0:1], prefq_ref[:, 0:1],
+                vcol_ref[:, :], va_tfin, totq_col,
+                tx0, ty0, tile_size, D,
             )
-        prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
-        lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
+            gout = jnp.where(in_range, gout, 0.0)
+            if Fv > gout.shape[0]:
+                gout = jnp.concatenate(
+                    [gout,
+                     jnp.zeros((Fv - gout.shape[0], CHUNK), jnp.float32)],
+                    axis=0,
+                )
+            gbuf[:, :] = gout
+            prefq_ref[:, :] += jnp.sum(q, axis=1, keepdims=True)
+            lograw_ref[:, :] += jnp.sum(logs, axis=1, keepdims=True)
 
         # rotate grads back to raw chunk positions: lane l >= s0 belongs to
         # chunk c0+k, lane l < s0 to chunk c0+k+1
-        rolled = pltpu.roll(gout, s0, 1)
+        rolled = pltpu.roll(gbuf[:, :], s0, 1)
         complete = k * CHUNK + (CHUNK - s0) <= count
 
         @pl.when(complete)
@@ -950,6 +965,7 @@ def _raster_unaligned_bwd(
             pltpu.SMEM((1,), jnp.int32),  # carry-valid flag
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((Fv, CHUNK), jnp.float32),  # per-chunk grads
         ],
     )
     (v_packed,) = pl.pallas_call(

@@ -497,10 +497,19 @@ def derive_isect_capacity(
     **proj_kwargs,
 ) -> int:
     """Auto-size ``isect_capacity`` for a scene: one jitted projection +
-    footprint count, then ``headroom``x margin rounded up to the kernels'
-    128-entry chunk granularity. Replaces hand-tuned per-scene capacities
-    (the capacity directly buys fps — the post-sort feature gather is
-    row-count bound — so an honest tight bound beats a safe guess).
+    footprint count, then ``headroom``x margin rounded up to a 4096-entry
+    boundary. Replaces hand-tuned per-scene capacities (the capacity
+    directly buys fps — the post-sort feature gather is row-count bound —
+    so an honest tight bound beats a safe guess).
+
+    The 4096 rounding coarsens shape churn (fewer recompiles across
+    nearby scene sizes) at ≤0.4% waste at 1M entries. It is NOT a
+    performance rule: the eval3d stride cliff this round uncovered
+    (BENCH_BREAKDOWN_r04.md "Resolution" — capacities below
+    T_total·CHUNK run ~12% slower regardless of alignment) is handled
+    inside the eval3d wrappers by padding the packed stream's minor
+    dim across the cliff, so the derived capacity here stays an honest
+    tight bound for the sort/gather.
 
     Host-synchronizing (returns a Python int): call once per scene/shape,
     not inside a jitted step."""
@@ -524,7 +533,7 @@ def derive_isect_capacity(
 
     capped, _ = count(means, quats, scales, opacities, viewmats, Ks)
     n = int(_np.asarray(capped))
-    return max(-(-int(n * headroom) // 128) * 128, 128)
+    return max(-(-int(n * headroom) // 4096) * 4096, 4096)
 
 
 def _packed_offsets(keys_s, I: int, n_tiles: int, depth_bits: int):

@@ -764,6 +764,10 @@ def rasterization_eval3d_sharded(
         )
         capacity = isect.flatten_ids.shape[0]
         pad = (-capacity) % _CHUNK + _CHUNK
+        # stride cliff: keep the packed minor dim >= T·CHUNK (see the
+        # single-device eval3d wrapper + BENCH_BREAKDOWN_r04.md)
+        if capacity + pad < T_local * _CHUNK + _CHUNK:
+            pad = T_local * _CHUNK + _CHUNK - capacity
         flatten_ids = jnp.pad(isect.flatten_ids, (0, pad))
         feats_f = jax.lax.optimization_barrier(
             feats_l.reshape(c_local * N, F_pad)

@@ -328,3 +328,37 @@ def test_isect_tiles_packed_split_exact_depth():
         np.asarray(a.isect_keys)[:n], np.asarray(b.isect_keys)[:n])
     np.testing.assert_array_equal(
         np.asarray(a.flatten_ids)[:n], np.asarray(b.flatten_ids)[:n])
+
+
+def test_derive_isect_capacity_rounding_and_sufficiency():
+    """derive_isect_capacity: 4096-aligned (the measured stride rule,
+    BENCH_BREAKDOWN_r04.md), >= the actual capped need, floor 4096."""
+    rng = np.random.default_rng(7)
+    N = 300
+    means = rng.normal(size=(N, 3)).astype(np.float32) + [0, 0, 6.0]
+    quats = rng.normal(size=(N, 4)).astype(np.float32)
+    scales = rng.uniform(0.01, 0.08, size=(N, 3)).astype(np.float32)
+    opac = rng.uniform(0.3, 1.0, size=(N,)).astype(np.float32)
+    viewmats = np.eye(4, dtype=np.float32)[None]
+    Ks = np.array([[[100.0, 0, 32], [0, 100.0, 24], [0, 0, 1]]], np.float32)
+    cap = tiling.derive_isect_capacity(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(viewmats), jnp.asarray(Ks),
+        64, 48, max_tiles_per_gauss=16,
+    )
+    assert cap % 4096 == 0 and cap >= 4096
+    # sufficiency: tiling at the derived capacity drops nothing beyond
+    # the per-gaussian clamp (n_dropped counts capacity overflow)
+    from tdgs.ops.projection import fully_fused_projection
+
+    radii, means2d, depths, _, _ = fully_fused_projection(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(viewmats), jnp.asarray(Ks), 64, 48,
+        opacities=jnp.asarray(opac),
+    )
+    isect = tiling.isect_tiles_packed(
+        means2d, radii, depths, 16, 4, 3,
+        max_tiles_per_gauss=16, capacity=int(cap),
+    )
+    assert int(isect.n_dropped) == 0
+    assert int(isect.n_isects) <= cap

@@ -67,6 +67,8 @@ def main():
         )
     except ImportError:  # pre-round-3 tree (bisect worktrees): r02's value
         cap = cap_exact = 1_048_576
+    if os.environ.get("TDGS_AB_CAP"):  # capacity A/B override
+        cap = int(os.environ["TDGS_AB_CAP"])
 
     def infer_frame(model):
         kw = dict(
@@ -138,8 +140,9 @@ def main():
     from tdgs.ops import rasterize_pallas_packed as _rpp
 
     out["knobs"] = {  # read the bound values, not the env defaults
-        "POLY_EXP": "1" if _rpp._POLY_EXP else "0",
-        "SPLIT_DOTS": "1" if _rpp._SPLIT_DOTS else "0",
+        "POLY_EXP": "1" if getattr(_rpp, "_POLY_EXP", False) else "0",
+        "SPLIT_DOTS": "1" if getattr(_rpp, "_SPLIT_DOTS", False) else "0",
+        "cap": int(cap),
     }
     print(json.dumps(out))
 
