@@ -53,9 +53,26 @@ def _hbm_in_use() -> int:
         return 0
 
 
-def measure(n: int, train: bool, frames: int = 20) -> dict:
+def measure(n: int, train: bool, frames: int = 20,
+            density: str = "trained") -> dict:
+    """One ladder point.
+
+    ``density`` picks how splat size scales with N:
+    - "trained" (default): per-splat area ∝ 1/N, i.e. total splat area is
+      held at the N=200k scene's value. This is how trained scenes behave
+      (densification adds splats while shrinking each — the reference's
+      0.36M–4M MCMC runs hold `cap_max` total mass, so per-splat scale
+      falls as count rises); the ladder then measures how the PIPELINE
+      scales with N, not how overdraw scales with N.
+    - "fixed": per-splat size constant (the N=200k scene replicated
+      denser) — n_isects grows linearly with N; measures overdraw.
+    Either way the artifact records n_isects/n_dropped per point, so the
+    workload is explicit."""
     args = [jnp.asarray(a) for a in bench.make_scene(n)]
     means, quats, scales, opacities, sh, viewmats, Ks = args
+    if density == "trained" and n != 200_000:
+        scales = scales * float(np.sqrt(200_000 / n))
+        args[2] = scales
     cap = derive_isect_capacity(
         means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
         max_tiles_per_gauss=16,
@@ -125,11 +142,13 @@ def main() -> None:
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--frames", type=int, default=20)
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--density", choices=("trained", "fixed"),
+                    default="trained")
     ns = ap.parse_args()
 
-    results = {}
+    results = {"density_model": ns.density}
     for n in (int(s) for s in ns.sizes.split(",")):
-        results[str(n)] = measure(n, ns.train, ns.frames)
+        results[str(n)] = measure(n, ns.train, ns.frames, ns.density)
         print(f"N={n}: {results[str(n)]}", file=sys.stderr, flush=True)
         if ns.json:  # incremental: a crash at 4M still leaves the ladder
             with open(ns.json, "w") as f:

@@ -126,7 +126,6 @@ def main():
     if "micro" in fams:
         # tile sort alone
         from tdgs.ops.projection import fully_fused_projection
-        from tdgs.ops.spherical_harmonics import spherical_harmonics
         from tdgs.ops.tiling import isect_tiles_packed
 
         import math
