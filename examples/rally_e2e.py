@@ -65,10 +65,17 @@ def main():
                     help="write the summary JSON here (e.g. RALLY_r02.json)")
     ap.add_argument("--skip-train", action="store_true",
                     help="reuse the checkpoint in --out-dir")
+    ap.add_argument("--ckpt-every", type=int, default=500,
+                    help="mid-run checkpoint cadence; a crashed/killed run "
+                    "resumes from the newest ckpt automatically")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
+
+    # persistent compile cache: a resumed run (after a tunnel death)
+    # replays the same shapes and skips the multi-minute recompiles
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from tdgs.strategy import MCMCStrategy
     from tdgs.training.config import Config
@@ -101,7 +108,12 @@ def main():
         normalize_world_space=False,  # keep the physics frame (z-up, ground z=0)
         max_steps=steps,
         eval_steps=[steps],
-        save_steps=[steps],
+        # mid-run checkpoints so a dead TPU tunnel costs minutes, not the
+        # whole run (the round-4 rally attempt died at train step 400 with
+        # nothing on disk)
+        save_steps=sorted(
+            set(range(args.ckpt_every, steps, args.ckpt_every)) | {steps}
+        ),
         ply_steps=[],
         init_type="sfm",
         # the reference's mcmc preset hypers (simple_trainer.py:1597-1618):
@@ -138,16 +150,31 @@ def main():
     )
     ckpt_path = os.path.join(args.out_dir, "ckpts", f"ckpt_{steps}.pkl")
     runner = Runner(cfg)
+    # resume from the newest mid-run checkpoint if one exists
+    import glob as _glob
+    have = sorted(
+        (int(os.path.basename(p)[5:-4]), p)
+        for p in _glob.glob(os.path.join(args.out_dir, "ckpts", "ckpt_*.pkl"))
+    )
     if args.skip_train and os.path.exists(ckpt_path):
         print(f"[2/5] loading checkpoint {ckpt_path}")
         runner.load_checkpoint(ckpt_path)
         val = runner.eval(steps)
     else:
-        print(f"[2/5] training {steps} steps on {jax.default_backend()}")
-        runner.train()
-        with open(os.path.join(args.out_dir, "stats",
-                               f"val_step{steps}.json")) as f:
-            val = json.load(f)
+        start = 0
+        if have:
+            start, newest = have[-1]
+            print(f"[2/5] resuming from {newest} (step {start})")
+            runner.load_checkpoint(newest)
+        if start >= steps:
+            val = runner.eval(steps)
+        else:
+            print(f"[2/5] training steps {start + 1}..{steps} "
+                  f"on {jax.default_backend()}")
+            runner.train(start_step=start)
+            with open(os.path.join(args.out_dir, "stats",
+                                   f"val_step{steps}.json")) as f:
+                val = json.load(f)
     print(f"      val PSNR {val['psnr']:.2f}  SSIM {val['ssim']:.3f}  "
           f"num_GS {val['num_GS']}")
     summary["train_psnr"] = val["psnr"]
@@ -336,6 +363,9 @@ def main():
         W, H, gmeta["tile_size"], gmeta["tile_width"],
         gmeta["tile_height"],
         background=np.full((3,), DOMINO_BACKGROUND),
+        # the jax-path meta carries [I,th,tw] per-tile starts (packed path:
+        # [T+1] ranges); n_isects closes the final tile's range either way
+        n_isects=int(np.asarray(gmeta["n_isects"])),
     )
     golden_psnr = psnr_np(
         np.clip(np.asarray(img_fast[0]), 0, 1),

@@ -987,17 +987,21 @@ class Runner:
         }
 
     # ------------------------------------------------------------------
-    def train(self) -> Dict[str, Any]:
+    def train(self, start_step: int = 0) -> Dict[str, Any]:
+        """Run the training loop. ``start_step`` resumes mid-run after
+        ``load_checkpoint`` (all schedules — lr, sh_degree, strategy
+        refine windows — are step-indexed, so the loop continues exactly;
+        only the data-order permutation restarts)."""
         cfg = self.cfg
         max_steps = cfg.max_steps
-        rng = np.random.default_rng(cfg.seed)
+        rng = np.random.default_rng(cfg.seed + start_step)
         order = rng.permutation(len(self.trainset))
         cursor = 0
         t0 = time.time()
         history = []
-        last_log_step, last_log_time = 0, t0
+        last_log_step, last_log_time = start_step, t0
 
-        for step in range(1, max_steps + 1):
+        for step in range(start_step + 1, max_steps + 1):
             if cursor + cfg.batch_size > len(order):
                 order = rng.permutation(len(self.trainset))
                 cursor = 0
