@@ -260,7 +260,14 @@ class Runner:
             self._train_step_impl, donate_argnums=(0, 1),
             static_argnames=(
                 "sh_degree", "use_means2d_tap", "use_absgrad",
-                "use_seg_loss", "use_spatial_reg",
+            ),
+        )
+        # segmentation losses compile as their own program — see
+        # _seg_step_impl for why (fused-module compile stall on TPU)
+        self._seg_step = jax.jit(
+            self._seg_step_impl,
+            static_argnames=(
+                "sh_degree", "use_seg_loss", "use_spatial_reg",
             ),
         )
 
@@ -339,8 +346,16 @@ class Runner:
     def _init_splats(self, key) -> G.SplatParams:
         cfg = self.cfg
         if cfg.init_type == "sfm":
-            pts = jnp.asarray(self.parser.points)
-            rgbs = jnp.asarray(self.parser.points_rgb / 255.0)
+            pts_np = self.parser.points
+            rgbs_np = self.parser.points_rgb
+            if (cfg.sfm_max_points
+                    and pts_np.shape[0] > cfg.sfm_max_points):
+                keep = np.random.default_rng(cfg.seed).choice(
+                    pts_np.shape[0], cfg.sfm_max_points, replace=False
+                )
+                pts_np, rgbs_np = pts_np[keep], rgbs_np[keep]
+            pts = jnp.asarray(pts_np)
+            rgbs = jnp.asarray(rgbs_np / 255.0)
             n_init = pts.shape[0]
         else:
             pts = jax.random.uniform(
@@ -585,9 +600,8 @@ class Runner:
     # ------------------------------------------------------------------
     def _train_step_impl(
         self, params, opt_state, seg_head, seg_opt_state, aux_params,
-        aux_opt_state, batch, lr_dict, key, sh_degree: int,
+        aux_opt_state, batch, lr_dict, key, extra_grads, sh_degree: int,
         use_means2d_tap: bool, use_absgrad: bool = False,
-        use_seg_loss: bool = False, use_spatial_reg: bool = False,
     ):
         cfg = self.cfg
         images = batch["image"]  # [B, H, W, 3]
@@ -844,54 +858,15 @@ class Runner:
                     jnp.abs(jnp.exp(params["scales"]))
                 )
                 loss = loss + terms["scalereg"]
-            if use_seg_loss or use_spatial_reg:
-                # second full render through the N-D feature path
-                # (reference simple_trainer.py:945-975)
-                from tdgs.segmentation import (
-                    apply_segmentation_head,
-                    cgc_contrastive_clustering_loss,
-                    cgc_spatial_regularizer,
-                )
-
-                feats = apply_segmentation_head(
-                    seg_head, params["identity_encodings"]
-                )
-                if use_seg_loss:
-                    feat_map, _, _ = self.rasterize_splats(
-                        params, batch["viewmat"], batch["K"], W, H,
-                        sh_degree, override_features=feats,
-                    )
-                    seg = 0.0
-                    for b in range(B):
-                        seg = seg + cgc_contrastive_clustering_loss(
-                            feat_map[b], batch["instance_mask"][b],
-                            min_cluster_size=cfg.cgc_min_cluster,
-                        )
-                    terms["segloss"] = cfg.seg_loss_weight * seg / B
-                    loss = loss + terms["segloss"]
-                    # cluster-quality diagnostics at tb cadence
-                    # (reference utils.py:log_cluster_quality:789-825)
-                    from tdgs.segmentation.losses import cluster_quality
-
-                    intra, inter = cluster_quality(
-                        jax.lax.stop_gradient(feat_map[0]),
-                        batch["instance_mask"][0],
-                    )
-                    cq = (intra, inter)
-                else:
-                    cq = None
-                if use_spatial_reg:
-                    terms["spatialreg"] = cfg.seg_spatial_weight * (
-                        cgc_spatial_regularizer(
-                            feats, params["means"], k_spatial,
-                            k_near=cfg.cgc_k_near, k_far=cfg.cgc_k_far,
-                            lambda_near=cfg.cgc_lambda_near,
-                            lambda_far=cfg.cgc_lambda_far,
-                        )
-                    )
-                    loss = loss + terms["spatialreg"]
-            else:
-                cq = None
+            # NOTE: the segmentation losses run in a SEPARATE jit program
+            # (_seg_step_impl) whose parameter gradients are summed into
+            # this step's via ``extra_grads`` — mathematically identical to
+            # the fused program (grad of a sum = sum of grads, one Adam
+            # update), but each program compiles alone: the fused variant's
+            # XLA compile (two rasterizer VJP pipelines in one module) ran
+            # >25 min through the TPU tunnel and stalled every rally at the
+            # first seg step, while each half compiles in ~6 min.
+            cq = None
             aux = {
                 "radii": meta["radii"],
                 "n_dropped": meta["n_dropped"],
@@ -914,6 +889,15 @@ class Runner:
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True
         )(params, seg_in, aux_params, tap, abs_tap)
         g_params, g_seg, g_aux, g_tap, g_abs = grads
+        if extra_grads:
+            # gradients from the separately-jitted segmentation program
+            # (see _seg_step_impl): summing before the single Adam update
+            # is exactly the fused program's math. With an empty dict the
+            # traced HLO is unchanged (persistent-cache hit).
+            g_params = {
+                k: (g + extra_grads[k]) if k in extra_grads else g
+                for k, g in g_params.items()
+            }
 
         visibility = (aux["radii"] > 0).all(-1).any(axis=tuple(range(aux["radii"].ndim - 2)))
         params, opt_state = self.optimizer.update(
@@ -928,16 +912,7 @@ class Runner:
                     params["scales"], float(np.log(cfg.max_scale))
                 ),
             )
-        if seg_head is not None and (use_seg_loss or use_spatial_reg):
-            new_head, new_mu, new_nu = {}, {}, {}
-            for k, g in g_seg.items():
-                mu = 0.9 * seg_opt_state["mu"][k] + 0.1 * g
-                nu = 0.999 * seg_opt_state["nu"][k] + 0.001 * g * g
-                new_head[k] = seg_head[k] - 1e-3 * mu / (jnp.sqrt(nu) + 1e-15)
-                new_mu[k] = mu
-                new_nu[k] = nu
-            seg_head = new_head
-            seg_opt_state = {"mu": new_mu, "nu": new_nu}
+        del g_seg  # seg-head updates live in _seg_step_impl now
         if aux_params:
             new_aux, new_mu, new_nu = {}, {}, {}
             for k, g in g_aux.items():
@@ -965,6 +940,84 @@ class Runner:
         aux["visibility"] = visibility
         return (params, opt_state, seg_head, seg_opt_state, aux_params,
                 aux_opt_state, loss, aux)
+
+    # ------------------------------------------------------------------
+    def _seg_step_impl(
+        self, params, seg_head, seg_opt_state, batch, key,
+        sh_degree: int, use_seg_loss: bool, use_spatial_reg: bool,
+    ):
+        """Segmentation losses as their OWN jit program (reference fuses
+        them into the train step, simple_trainer.py:945-975; here the
+        fused module's XLA compile stalls >25 min through the TPU tunnel,
+        so the CGC render + spatial regularizer compile separately and
+        their parameter gradients are summed into the main step via its
+        ``extra_grads`` input — same math, two ~6-minute compiles).
+
+        Returns (g_params, new_seg_head, new_seg_opt_state, terms, cq)."""
+        cfg = self.cfg
+        from tdgs.segmentation import (
+            apply_segmentation_head,
+            cgc_contrastive_clustering_loss,
+            cgc_spatial_regularizer,
+        )
+        from tdgs.segmentation.losses import cluster_quality
+
+        def loss_fn(params, seg_head):
+            feats = apply_segmentation_head(
+                seg_head, params["identity_encodings"]
+            )
+            terms = {}
+            loss = jnp.float32(0.0)
+            cq = None
+            if use_seg_loss:
+                B, H, W = batch["image"].shape[:3]
+                feat_map, _, _ = self.rasterize_splats(
+                    params, batch["viewmat"], batch["K"], W, H,
+                    sh_degree, override_features=feats,
+                )
+                seg = 0.0
+                for b in range(B):
+                    seg = seg + cgc_contrastive_clustering_loss(
+                        feat_map[b], batch["instance_mask"][b],
+                        min_cluster_size=cfg.cgc_min_cluster,
+                    )
+                terms["segloss"] = cfg.seg_loss_weight * seg / B
+                loss = loss + terms["segloss"]
+                # cluster-quality diagnostics at tb cadence
+                # (reference utils.py:log_cluster_quality:789-825)
+                intra, inter = cluster_quality(
+                    jax.lax.stop_gradient(feat_map[0]),
+                    batch["instance_mask"][0],
+                )
+                cq = (intra, inter)
+            if use_spatial_reg:
+                terms["spatialreg"] = cfg.seg_spatial_weight * (
+                    cgc_spatial_regularizer(
+                        feats, params["means"], key,
+                        k_near=cfg.cgc_k_near, k_far=cfg.cgc_k_far,
+                        lambda_near=cfg.cgc_lambda_near,
+                        lambda_far=cfg.cgc_lambda_far,
+                    )
+                )
+                loss = loss + terms["spatialreg"]
+            return loss, (terms, cq)
+
+        (_, (terms, cq)), (g_params, g_seg) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, seg_head)
+
+        # seg-head Adam (matches the fused step's inline update)
+        new_head, new_mu, new_nu = {}, {}, {}
+        for k, g in g_seg.items():
+            mu = 0.9 * seg_opt_state["mu"][k] + 0.1 * g
+            nu = 0.999 * seg_opt_state["nu"][k] + 0.001 * g * g
+            new_head[k] = seg_head[k] - 1e-3 * mu / (jnp.sqrt(nu) + 1e-15)
+            new_mu[k] = mu
+            new_nu[k] = nu
+        terms = jax.lax.stop_gradient(terms)
+        if cq is not None:
+            cq = jax.lax.stop_gradient(cq)
+        return (g_params, new_head, {"mu": new_mu, "nu": new_nu}, terms, cq)
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -1091,23 +1144,41 @@ class Runner:
                 lr_dict["nml_gate"] = jnp.float32(
                     1.0 if step >= cfg.start_normal_loss_step else 0.0
                 )
-            self.key, k_step, k_strat = jax.random.split(self.key, 3)
+            self.key, k_step, k_strat, k_seg = jax.random.split(self.key, 4)
 
             for k, lr in self.aux_lrs.items():
                 lr_dict[f"aux_{k}"] = jnp.float32(lr)
             # the viewer lock keeps live-view renders consistent with the
             # in-flight parameter update (reference simple_trainer.py:690)
             with self.viewer_lock:
-                (self.splats, self.opt_state, self.seg_head,
-                 self.seg_opt_state, self.aux_params, self.aux_opt_state,
+                extra_grads = {}
+                seg_terms, seg_cq = {}, None
+                if use_seg or use_spatial:
+                    # separately-jitted seg program: grads summed into the
+                    # main step's Adam update (same math as the reference's
+                    # fused loss; see _seg_step_impl)
+                    (extra_grads, self.seg_head, self.seg_opt_state,
+                     seg_terms, seg_cq) = self._seg_step(
+                        self.splats, self.seg_head, self.seg_opt_state,
+                        batch, k_seg,
+                        sh_degree=sh_degree, use_seg_loss=use_seg,
+                        use_spatial_reg=use_spatial,
+                    )
+                (self.splats, self.opt_state, _, _,
+                 self.aux_params, self.aux_opt_state,
                  loss, aux) = self._train_step(
                     self.splats, self.opt_state, self.seg_head,
                     self.seg_opt_state, self.aux_params, self.aux_opt_state,
-                    batch, lr_dict, k_step,
+                    batch, lr_dict, k_step, extra_grads,
                     sh_degree=sh_degree, use_means2d_tap=use_tap,
                     use_absgrad=use_absgrad,
-                    use_seg_loss=use_seg, use_spatial_reg=use_spatial,
                 )
+                if seg_terms:
+                    aux.setdefault("loss_terms", {}).update(seg_terms)
+                    # logged/nan-checked loss matches the fused program's
+                    loss = loss + sum(seg_terms.values())
+                if seg_cq is not None:
+                    aux["cluster_quality"] = seg_cq
 
                 info = {
                     "radii": aux["radii"],
@@ -1293,6 +1364,17 @@ class Runner:
         # the proxy's absolute values are NOT comparable to AlexNet-LPIPS
         # numbers (deltas/rankings are) — name the backend in the JSON
         out["lpips_impl"] = _impl
+        if not _impl.startswith("learned"):
+            # explicit limitation, carried in every committed eval artifact:
+            # this image has zero network egress and no pretrained AlexNet/
+            # VGG weights on disk, so real LPIPS cannot be computed here.
+            # Export weights per tdgs/training/metrics.py docstring and set
+            # TDGS_LPIPS_WEIGHTS to get reference-comparable `lpips`.
+            out["lpips_note"] = (
+                "pretrained LPIPS weights unavailable offline; lpips_proxy "
+                "is a fixed-seed random-feature perceptual distance — "
+                "not comparable to reference LPIPS absolute values"
+            )
         out["ellipse_time"] = ellipse
         out["num_GS"] = int(
             np.asarray(G.alive_mask(self.splats)).sum()
