@@ -38,6 +38,10 @@ class Config:
     init_type: Literal["sfm", "random"] = "sfm"
     init_num_pts: int = 100_000
     init_extent: float = 3.0
+    # cap the SFM seed: deterministically subsample the triangulated pool
+    # to at most this many init gaussians (None = use all points; MCMC
+    # runs need n_init <= cap_max)
+    sfm_max_points: Optional[int] = None
     sh_degree: int = 3
     sh_degree_interval: int = 1000
     init_opa: float = 0.1

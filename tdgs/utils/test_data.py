@@ -375,3 +375,149 @@ def make_colmap_test_scene(root, n_images=8, width=64, height=48,
             Image.fromarray((img[i] * 255).astype(np.uint8)).save(
                 os.path.join(root, "images", name)
             )
+
+
+def make_rich_scene(root, n_images=40, width=1236, height=822,
+                    n_gt=150_000, sfm_points=40_000, seed=11,
+                    extent=4.0):
+    """Write a visually rich procedural COLMAP scene for quality-at-scale
+    benchmarks (the stand-in for the reference's MipNeRF-360 captures —
+    examples/benchmarks/mcmc.sh trains 0.36M-4M gaussians against such
+    scenes; this image has no network egress so captured data can't be
+    downloaded).
+
+    Content is built to *need* densification: a noisy multi-frequency
+    terrain with high-frequency procedural texture, a scatter of boxes and
+    ellipsoids at varied scales/colors, and thin pillars — rendered from
+    two orbit rings of cameras at MipNeRF-360-like resolution. GT splats
+    are written as renders; a random subsample plays the part of the
+    COLMAP triangulation (``sfm_points``).
+    """
+    import os
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from tdgs.rendering import rasterization
+
+    rng = np.random.default_rng(seed)
+    S = extent
+
+    def tex(p):
+        """Procedural high-frequency color texture over 3D points."""
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        r = 0.5 + 0.25 * np.sin(3.1 * x) * np.cos(2.3 * y) \
+            + 0.15 * np.sin(9.7 * x + 5.1 * y)
+        g = 0.5 + 0.25 * np.cos(2.7 * x + 1.1) * np.sin(3.7 * y) \
+            + 0.15 * np.sin(8.3 * y + 3.7 * z)
+        b = 0.45 + 0.3 * np.sin(1.9 * x + 2.9 * y + 4.1 * z) \
+            + 0.1 * np.cos(11.3 * x)
+        c = np.stack([r, g, b], -1)
+        c += rng.uniform(-0.04, 0.04, c.shape)
+        return np.clip(c, 0.02, 1.0).astype(np.float32)
+
+    def terrain_z(xy):
+        x, y = xy[:, 0], xy[:, 1]
+        return (0.35 * np.sin(1.1 * x) * np.cos(0.9 * y)
+                + 0.18 * np.sin(2.6 * x + 1.3) * np.sin(2.1 * y)
+                + 0.08 * np.sin(5.3 * x + 2.1 * y)).astype(np.float32)
+
+    n_ground = int(n_gt * 0.55)
+    gxy = rng.uniform(-S, S, size=(n_ground, 2)).astype(np.float32)
+    gz = terrain_z(gxy)[:, None]
+    ground = np.concatenate([gxy, gz], 1)
+
+    # objects: boxes, ellipsoids, pillars scattered on the terrain
+    n_obj = 28
+    obj_budget = n_gt - n_ground
+    per_obj = obj_budget // n_obj
+    objs, obj_scale_mult = [], []
+    for i in range(n_obj):
+        cx, cy = rng.uniform(-0.75 * S, 0.75 * S, 2)
+        base_z = float(terrain_z(np.array([[cx, cy]], np.float32))[0])
+        kind = i % 3
+        if kind == 0:  # box
+            he = rng.uniform(0.15, 0.55, 3)
+            pts = _sample_box_surface(rng, per_obj, he)
+            pts[:, 2] += he[2]
+        elif kind == 1:  # ellipsoid
+            he = rng.uniform(0.15, 0.5, 3)
+            u = rng.normal(size=(per_obj, 3))
+            u /= np.linalg.norm(u, axis=1, keepdims=True) + 1e-9
+            pts = (u * he).astype(np.float32)
+            pts[:, 2] += he[2]
+        else:  # thin pillar
+            he = np.array([0.08, 0.08, rng.uniform(0.6, 1.2)])
+            pts = _sample_box_surface(rng, per_obj, he)
+            pts[:, 2] += he[2]
+        pts[:, 0] += cx
+        pts[:, 1] += cy
+        pts[:, 2] += base_z
+        objs.append(pts.astype(np.float32))
+        obj_scale_mult.append(np.full(per_obj, 0.7, np.float32))
+
+    means = np.concatenate([ground] + objs)
+    n = means.shape[0]
+    cols = tex(means)
+    quats = np.tile([1.0, 0, 0, 0], (n, 1)).astype(np.float32)
+    # splat sizes ~ local sample spacing (ground denser -> smaller)
+    g_scale = 2.2 * S / np.sqrt(n_ground)
+    scales = np.full((n, 3), g_scale, np.float32)
+    scales[n_ground:] *= np.concatenate(obj_scale_mult)[:, None] * 0.8
+    opac = np.full((n,), 0.9, np.float32)
+
+    # cameras: two orbit rings + a high ring, all looking at the center
+    center = np.array([0.0, 0.0, 0.25], np.float32)
+    f = 0.82 * max(width, height)
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]],
+                 np.float32)
+    viewmats = []
+    for i in range(n_images):
+        az = 2 * np.pi * i / n_images * 3.0  # three loops
+        ring = i * 3 // n_images  # 0,1,2
+        el = np.deg2rad((18.0, 32.0, 50.0)[ring])
+        radius = (1.45, 1.25, 1.1)[ring] * S
+        eye = center + radius * np.array(
+            [np.cos(az) * np.cos(el), np.sin(az) * np.cos(el), np.sin(el)],
+            np.float32,
+        )
+        viewmats.append(_look_at_viewmat(eye, center))
+    viewmats = np.stack(viewmats)
+    Ks = np.tile(K, (n_images, 1, 1))
+    image_names = [f"img_{i:03d}.png" for i in range(n_images)]
+
+    raster = (
+        "packed_inference" if jax.default_backend() == "tpu" else "jax"
+    )
+    j = jnp.asarray
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    from tdgs.ops.tiling import derive_isect_capacity
+
+    cap = derive_isect_capacity(
+        j(means), j(quats), j(scales), j(opac),
+        j(viewmats[:1]), j(Ks[:1]), width, height,
+    )
+    for i in range(n_images):
+        im, _, _ = rasterization(
+            j(means), j(quats), j(scales), j(opac), j(cols),
+            j(viewmats[i : i + 1]), j(Ks[i : i + 1]), width, height,
+            backgrounds=jnp.full((1, 3), 0.05),
+            rasterizer=raster, isect_capacity=int(cap),
+            tile_capacity=2048,
+        )
+        arr = np.clip(np.asarray(im[0]), 0, 1)
+        Image.fromarray((arr * 255).astype(np.uint8)).save(
+            os.path.join(root, "images", image_names[i])
+        )
+
+    sel = rng.choice(n, size=min(n, sfm_points), replace=False)
+    _write_colmap_sparse(
+        os.path.join(root, "sparse", "0"), width, height, f,
+        viewmats, image_names, means[sel], cols[sel],
+    )
+    return {
+        "means": means, "quats": quats, "scales": scales,
+        "opacities": opac, "colors": cols,
+        "viewmats": viewmats, "Ks": Ks,
+    }
