@@ -21,7 +21,10 @@ import jax
 # Env vars set above only bind when present at interpreter startup (the axon
 # TPU plugin pre-reads them); the config update reliably forces CPU.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("TDGS_TEST_CACHE_DIR", "/tmp/jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 

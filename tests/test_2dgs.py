@@ -215,6 +215,7 @@ def test_2dgs_packed_training_matches_jax():
         assert scale > 0, name
 
 
+@pytest.mark.slow
 def test_2dgs_packed_truncation_matches_jax():
     """Overflowing tiles (raw count > tile_capacity) exercise the 2DGS
     backward kernel's carry-invalidation + gap zero-fill protocol."""

@@ -190,6 +190,7 @@ def test_eval3d_fisheye_with_ut():
     assert np.asarray(alpha).max() > 0.2
 
 
+@pytest.mark.slow
 def test_eval3d_rolling_shutter_identity():
     """RS with end pose == start pose must equal the global-shutter render
     exactly (pose interpolation degenerates to the constant pose)."""
@@ -254,7 +255,13 @@ def test_eval3d_rolling_shutter_blends_poses():
     assert np.abs(a - s).mean() > 1e-3 and np.abs(a - e).mean() > 1e-3
 
 
-@pytest.mark.parametrize("case", ["pinhole", "fisheye_ut", "rolling_shutter"])
+@pytest.mark.parametrize("case", [
+    "pinhole",
+    # non-pinhole camera models ride the same kernel; grads/identity
+    # tests below cover their math — slow tier re-checks them
+    pytest.param("fisheye_ut", marks=pytest.mark.slow),
+    pytest.param("rolling_shutter", marks=pytest.mark.slow),
+])
 def test_eval3d_packed_kernel_parity(case):
     """The streaming Pallas eval3d kernel (interpret mode on CPU) must match
     the differentiable jnp path on the same sorted entries."""
@@ -303,7 +310,10 @@ def test_eval3d_packed_kernel_parity(case):
     )
 
 
-@pytest.mark.parametrize("case", ["pinhole", "rolling_shutter"])
+@pytest.mark.parametrize("case", [
+    "pinhole",
+    pytest.param("rolling_shutter", marks=pytest.mark.slow),
+])
 def test_eval3d_packed_grads_match_jax(case):
     """The packed eval3d custom VJP must match autodiff through the jnp
     path — gradients to splat params AND camera poses (pose-opt)."""

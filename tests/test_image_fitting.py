@@ -10,8 +10,8 @@ def test_image_fitting_loss_drops():
     from image_fitting import fit
 
     initial, final, img = fit(
-        height=48, width=48, num_points=256, iterations=120,
+        height=48, width=48, num_points=256, iterations=60,
         lr=2e-2, log_every=0,
     )
-    assert final < 0.4 * initial, (initial, final)
+    assert final < 0.55 * initial, (initial, final)
     assert img.shape == (48, 48, 3)

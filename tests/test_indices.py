@@ -82,6 +82,7 @@ def test_accumulate_differentiable():
     assert np.abs(np.asarray(g)).max() > 0
 
 
+@pytest.mark.slow
 def test_index_path_2dgs_matches_fused():
     """2DGS index rasterizer + accumulate_2dgs == the fused surfel
     rasterizer (reference RasterizeToIndices2DGS.cu equivalence)."""

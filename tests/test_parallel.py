@@ -286,6 +286,7 @@ def test_sharded_2dgs_grads_flow_to_gaussians():
         assert np.abs(x).max() > 0, name
 
 
+@pytest.mark.slow
 def test_sharded_2dgs_absgrad_tap_matches_single_device():
     """2DGS AbsGS tap through the sharded exchange equals the single-device
     tap (round-3 carve-out lifted: 2DGS absgrad, sharded included)."""

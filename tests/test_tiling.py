@@ -309,6 +309,7 @@ def test_isect_tiles_packed_split_big_overflow_counts_drops():
     assert set(b) <= a and len(b) == int(split.n_isects)
 
 
+@pytest.mark.slow
 def test_isect_tiles_packed_split_exact_depth():
     """split_k composes with exact_depth (full-f32 in-tile depth order)."""
     rng = np.random.default_rng(35)

@@ -112,6 +112,7 @@ def test_sharded_matches_unsharded_first_step(scene_dir, tmp_path):
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+@pytest.mark.slow
 def test_sharded_2dgs_training(scene_dir, tmp_path):
     """Config.sharded with the 2DGS family: surfel features ship through
     the exchange, the densify tap still delivers screen grads, and normal/
@@ -196,6 +197,7 @@ def test_sharded_app_opt_training(scene_dir, tmp_path):
 
 
 @pytest.mark.skipif(jax.device_count() < 2, reason="needs multi-device mesh")
+@pytest.mark.slow
 def test_sharded_load_normals_training(scene_dir, tmp_path):
     """Carve-out lifted: monocular normal supervision under Config.sharded
     — the loss samples normal maps at meta['means2d'], which the sharded
