@@ -107,6 +107,9 @@ def main():
             refine_every=100,
         ),
         capacity=args.cap,
+        # at >=0.5M caps the dense N*K tile expansion dominates the step;
+        # exact coverage sorts isect_capacity rows instead
+        isect_exact=args.cap >= 500_000,
         tb_every=200,
     )
     runner = Runner(cfg)

@@ -45,16 +45,35 @@ from tdgs.rendering import rasterization  # noqa: E402
 WIDTH, HEIGHT = 1920, 1080
 
 
-def _hbm_in_use() -> int:
+def _hbm_in_use() -> tuple:
+    """(bytes, probe_name). The axon PJRT backend does not implement
+    memory_stats() (round-4 ladder recorded 0 for every row); fall back to
+    summing live committed device arrays — a lower bound (excludes XLA
+    temp/workspace buffers), honest as long as the artifact names the
+    probe used."""
     try:
-        stats = jax.local_devices()[0].memory_stats()
-        return int(stats.get("bytes_in_use", 0))
+        stats = jax.local_devices()[0].memory_stats() or {}
+        v = int(stats.get("bytes_in_use", 0) or 0)
+        if v:
+            return v, "memory_stats"
     except Exception:
-        return 0
+        pass
+    try:
+        total = 0
+        for a in jax.live_arrays():
+            try:
+                total += a.nbytes
+            except Exception:
+                pass
+        if total:
+            return int(total), "live_arrays_lower_bound"
+    except Exception:
+        pass
+    return 0, "unavailable"
 
 
 def measure(n: int, train: bool, frames: int = 20,
-            density: str = "trained") -> dict:
+            density: str = "trained", isect_mode: str = "capped") -> dict:
     """One ladder point.
 
     ``density`` picks how splat size scales with N:
@@ -79,6 +98,14 @@ def measure(n: int, train: bool, frames: int = 20,
     )
     kw = dict(sh_degree=3, tile_capacity=1024, max_tiles_per_gauss=16,
               isect_capacity=cap)
+    # "exact": the reference's two-pass count/cumsum expansion done
+    # static-shape — sorts `capacity` rows instead of the N*K dense
+    # expansion (16M rows at 1M gaussians; THE scale wall past ~500k).
+    # "auto": exact only where the dense expansion would dominate.
+    if isect_mode == "exact" or (
+        isect_mode == "auto" and n * 16 > 4 * cap
+    ):
+        kw["isect_exact"] = True
 
     out = {"isect_capacity": cap}
     meta = jax.jit(lambda *a: rasterization(
@@ -103,7 +130,7 @@ def measure(n: int, train: bool, frames: int = 20,
     t0 = time.perf_counter()
     np.asarray(f(*args))
     out["render_fps"] = round(frames / (time.perf_counter() - t0), 2)
-    out["hbm_bytes_in_use"] = _hbm_in_use()
+    out["hbm_bytes_in_use"], out["hbm_probe"] = _hbm_in_use()
 
     if train:
         steps = max(frames // 2, 5)
@@ -128,7 +155,9 @@ def measure(n: int, train: bool, frames: int = 20,
         t0 = time.perf_counter()
         np.asarray(g(*args))
         out["train_fps"] = round(steps / (time.perf_counter() - t0), 2)
-        out["hbm_bytes_in_use"] = max(out["hbm_bytes_in_use"], _hbm_in_use())
+        hbm2, probe2 = _hbm_in_use()
+        if hbm2 > out["hbm_bytes_in_use"]:
+            out["hbm_bytes_in_use"], out["hbm_probe"] = hbm2, probe2
     return out
 
 
@@ -144,11 +173,14 @@ def main() -> None:
     ap.add_argument("--json", type=str, default=None)
     ap.add_argument("--density", choices=("trained", "fixed"),
                     default="trained")
+    ap.add_argument("--isect-mode", choices=("capped", "exact", "auto"),
+                    default="capped")
     ns = ap.parse_args()
 
-    results = {"density_model": ns.density}
+    results = {"density_model": ns.density, "isect_mode": ns.isect_mode}
     for n in (int(s) for s in ns.sizes.split(",")):
-        results[str(n)] = measure(n, ns.train, ns.frames, ns.density)
+        results[str(n)] = measure(n, ns.train, ns.frames, ns.density,
+                                  ns.isect_mode)
         print(f"N={n}: {results[str(n)]}", file=sys.stderr, flush=True)
         if ns.json:  # incremental: a crash at 4M still leaves the ladder
             with open(ns.json, "w") as f:

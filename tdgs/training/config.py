@@ -58,6 +58,11 @@ class Config:
     tile_capacity: int = 1024
     isect_capacity: Optional[int] = None
     max_tiles_per_gauss: int = 32
+    # exact tile coverage (reference two-pass count/cumsum expansion,
+    # IntersectTile.cu:95-113): sorts `isect_capacity` rows instead of the
+    # dense N*max_tiles_per_gauss expansion — the right default for large
+    # caps (>=0.5M) where the dense expansion dominates the train step
+    isect_exact: bool = False
 
     # model family
     model_type: Literal["3dgs", "2dgs"] = "3dgs"

@@ -452,6 +452,7 @@ class Runner:
                 tile_capacity=cfg.tile_capacity,
                 isect_capacity=cfg.isect_capacity,
                 max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                isect_exact=cfg.isect_exact,
                 rasterizer=self._inference_rasterizer(),
             )
             return out[0], out[1], out[6]
@@ -514,6 +515,7 @@ class Runner:
             tile_capacity=cfg.tile_capacity,
             isect_capacity=cfg.isect_capacity,
             max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+            isect_exact=cfg.isect_exact,
             means2d_offset=means2d_offset,
             means2d_abs_tap=means2d_abs_tap,
             backgrounds=backgrounds,
@@ -692,6 +694,7 @@ class Runner:
                         tile_capacity=cfg.tile_capacity,
                         isect_capacity=cfg.isect_capacity,
                         max_tiles_per_gauss=cfg.max_tiles_per_gauss,
+                        isect_exact=cfg.isect_exact,
                         backgrounds=backgrounds,
                         # differentiable Pallas fast path on TPU (custom-VJP
                         # pair in rasterize_2dgs_pallas); jnp oracle elsewhere
