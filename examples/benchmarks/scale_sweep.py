@@ -98,16 +98,27 @@ def measure(n: int, train: bool, frames: int = 20,
     )
     kw = dict(sh_degree=3, tile_capacity=1024, max_tiles_per_gauss=16,
               isect_capacity=cap)
-    # "exact": the reference's two-pass count/cumsum expansion done
-    # static-shape — sorts `capacity` rows instead of the N*K dense
-    # expansion (16M rows at 1M gaussians; THE scale wall past ~500k).
-    # "auto": exact only where the dense expansion would dominate.
-    if isect_mode == "exact" or (
-        isect_mode == "auto" and n * 16 > 4 * cap
-    ):
+    if isect_mode == "exact":
+        # the reference's two-pass count/cumsum expansion done static-
+        # shape. Measured at 1M: NOT a win (55 vs 50 ms tiling) — the
+        # [G]-row delta scatter serializes on TPU.
         kw["isect_exact"] = True
+    elif isect_mode == "auto":
+        # histogram-derived expansion plan (derive_isect_plan docstring):
+        # dense at small N, tightly-sized split_k two-population at scale
+        from tdgs.ops.tiling import derive_isect_plan
+
+        plan = derive_isect_plan(
+            means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
+            max_tiles_per_gauss=16,
+        )
+        kw.update(plan)
+        cap = plan["isect_capacity"]
 
     out = {"isect_capacity": cap}
+    if isect_mode == "auto":
+        out["plan"] = {k: v for k, v in kw.items()
+                       if k.startswith(("isect_", "max_tiles"))}
     meta = jax.jit(lambda *a: rasterization(
         *a, WIDTH, HEIGHT, rasterizer="packed_inference", **kw)[2])(*args)
     out["n_isects"] = int(np.asarray(meta["n_isects"]))

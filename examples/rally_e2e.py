@@ -282,24 +282,20 @@ def main():
 
     bkgd = jnp.full((1, 3), DOMINO_BACKGROUND)
 
-    # size the static intersection buffer to this scene: in exact mode
-    # n_isects + n_dropped always equals the true demand, so a tiny-capacity
-    # probe measures it; +30% headroom covers frame-to-frame variation as
-    # bodies move
-    from tdgs.ops.projection import fully_fused_projection
-    from tdgs.ops.tiling import isect_tiles_packed
-    pr = fully_fused_projection(
+    # expansion plan from the trained scene's footprint histogram
+    # (derive_isect_plan): K = the scene's true max tiles-per-gaussian, so
+    # coverage is complete (no banding on big trained splats) without the
+    # exact mode's [G]-row delta scatter; +30% capacity headroom covers
+    # frame-to-frame variation as bodies move (n_dropped stays 0)
+    from tdgs.ops.tiling import derive_isect_plan
+    plan = derive_isect_plan(
         splats["means"], splats["quats"], jnp.exp(splats["scales"]),
+        jax.nn.sigmoid(splats["opacities"]),
         jnp.asarray(viewmat)[None], jnp.asarray(K)[None], W, H,
-        opacities=jax.nn.sigmoid(splats["opacities"]),
+        headroom=1.3, max_tiles_per_gauss=64,
     )
-    probe = isect_tiles_packed(
-        pr[1], pr[0], pr[2], 16, -(-W // 16), -(-H // 16),
-        capacity=128, exact=True,
-    )
-    demand = int(probe.n_isects) + int(probe.n_dropped)
-    isect_cap = max(int(demand * 1.15), 1 << 18)
-    print(f"      isect demand {demand} → capacity {isect_cap}")
+    isect_cap = plan["isect_capacity"]
+    print(f"      isect plan {plan}")
 
     def render_fn(m, q):
         img, alpha, _ = rasterization(
@@ -307,14 +303,7 @@ def main():
             jax.nn.sigmoid(splats["opacities"]), sh,
             jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
             W, H, sh_degree=cfg.sh_degree, rasterizer=rasterizer,
-            backgrounds=bkgd,
-            # exact tile coverage: trained scenes have splats larger than
-            # the capped expansion handles (banding). The rollout keeps the
-            # quantized depth keys (1-key sort; the golden-check frame uses
-            # exact_depth and measured IDENTICAL output on this scene —
-            # 2^18 depth buckets produce no reorders here)
-            isect_exact=True,
-            isect_capacity=isect_cap, tile_capacity=2048,
+            backgrounds=bkgd, tile_capacity=2048, **plan,
         )
         return img, alpha
 

@@ -536,6 +536,111 @@ def derive_isect_capacity(
     return max(-(-int(n * headroom) // 4096) * 4096, 4096)
 
 
+def derive_isect_plan(
+    means: jnp.ndarray,
+    quats: jnp.ndarray,
+    scales: jnp.ndarray,
+    opacities: jnp.ndarray,
+    viewmats: jnp.ndarray,
+    Ks: jnp.ndarray,
+    width: int,
+    height: int,
+    tile_size: int = 16,
+    max_tiles_per_gauss: int = 32,
+    headroom: float = 1.1,
+    big_budget: int = 8192,
+    dense_factor: int = 3,
+    **proj_kwargs,
+) -> dict:
+    """Host-side auto-policy for the packed tiling expansion: derive
+    ``{isect_capacity, max_tiles_per_gauss, isect_split_k,
+    isect_big_capacity}`` from the scene's actual footprint histogram.
+
+    Motivation (measured, v5e, 1080p trained-density scenes): the
+    capped dense expansion sorts N*K rows — 16M at 1M gaussians, ~50 ms
+    of an 86 ms frame — while 99.4% of splats cover <=4 tiles there; the
+    exact two-pass mode dodges the big sort but its [G]-row delta
+    scatter costs just as much (TPU scatters serialize). The two-
+    population ``split_k`` expansion (dense k1 slots for everyone +
+    compacted tails for the few big splats) wins ONLY when sized
+    tightly: split_k=4/big_capacity=8k cut the 1M tiling stage
+    50.3 -> 24.0 ms, while the same mode with a G/4 big_capacity was a
+    round-2 negative result, and at 200k dense-16 is already 9.7 ms
+    (split overhead loses). Hence a derived per-scene plan:
+
+    - K := min(max observed tiles-per-gaussian, ``max_tiles_per_gauss``)
+      (coverage identical to a capped expansion at that K),
+    - the smallest k1 whose big-splat count fits ``big_budget`` is
+      adopted only when the dense N*K row count exceeds the split row
+      count by the measured ~1.5x compaction-overhead breakeven
+      (``dense_factor``/2); otherwise plain dense.
+
+    Host-synchronizing (one jitted projection + count pass); call once
+    per scene/shape like :func:`derive_isect_capacity`."""
+    from tdgs.ops.projection import fully_fused_projection
+
+    tile_width = math.ceil(width / tile_size)
+    tile_height = math.ceil(height / tile_size)
+    candidates = (2, 3, 4, 6, 8, 12, 16, 24)
+
+    @jax.jit
+    def stats(means, quats, scales, opacities, viewmats, Ks):
+        radii, means2d, _, _, _ = fully_fused_projection(
+            means, quats, scales, viewmats, Ks, width, height,
+            opacities=opacities, **proj_kwargs,
+        )
+        N = means2d.shape[-2]
+        I = math.prod(means2d.shape[:-2]) if means2d.shape[:-2] else 1
+        m2 = means2d.reshape(I, N, 2) / tile_size
+        rad = radii.reshape(I, N, 2).astype(means2d.dtype) / tile_size
+        lim = jnp.array([tile_width, tile_height], dtype=jnp.int32)
+        tmin = jnp.clip(jnp.floor(m2 - rad).astype(jnp.int32), 0, lim)
+        tmax = jnp.clip(jnp.ceil(m2 + rad).astype(jnp.int32), 0, lim)
+        alive = (rad > 0.0).all(axis=-1)
+        tiles = jnp.where(
+            alive,
+            (tmax[..., 0] - tmin[..., 0]) * (tmax[..., 1] - tmin[..., 1]),
+            0,
+        ).reshape(-1)
+        kmax = jnp.max(tiles)
+        n_big = jnp.stack([jnp.sum(tiles > k) for k in candidates])
+        cap_total = jnp.sum(jnp.minimum(tiles, max_tiles_per_gauss))
+        return cap_total, kmax, n_big
+
+    import numpy as _np
+
+    cap_total, kmax, n_big = jax.tree.map(
+        _np.asarray, stats(means, quats, scales, opacities, viewmats, Ks)
+    )
+    G = int(means.shape[-2]) * (
+        math.prod(viewmats.shape[:-2]) if viewmats.shape[:-2] else 1
+    )
+    capacity = max(-(-int(int(cap_total) * headroom) // 4096) * 4096, 4096)
+    K = int(min(int(kmax), max_tiles_per_gauss))
+    K = max(K, 1)
+    plan = {
+        "isect_capacity": capacity,
+        "max_tiles_per_gauss": K,
+        "isect_split_k": None,
+        "isect_big_capacity": None,
+    }
+    # pick split only where it shrinks the sorted row count enough to pay
+    # for its compaction overhead (measured ~1.6x breakeven: at 200k dense
+    # sorts 3.2M rows in 9.7 ms while split_k=12 costs 10.2 ms on 2.4M)
+    dense_rows = G * K
+    for k1, nb in zip(candidates, n_big):
+        if k1 >= K:
+            break
+        if int(nb) <= big_budget:
+            bigcap = max(-(-int(int(nb) * 2 + 256) // 128) * 128, 1024)
+            split_rows = G * k1 + bigcap * (K - k1)
+            if dense_rows > dense_factor / 2.0 * split_rows:
+                plan["isect_split_k"] = int(k1)
+                plan["isect_big_capacity"] = bigcap
+            break
+    return plan
+
+
 def _packed_offsets(keys_s, I: int, n_tiles: int, depth_bits: int):
     """Per-tile start offsets into the sorted packed-key buffer."""
     # boundaries computed host-side in int64 (x64 is disabled on device)

@@ -1,5 +1,6 @@
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from tdgs.ops import tiling
 from tests import oracles
@@ -363,3 +364,83 @@ def test_derive_isect_capacity_rounding_and_sufficiency():
     )
     assert int(isect.n_dropped) == 0
     assert int(isect.n_isects) <= cap
+
+
+def test_derive_isect_plan_matches_dense_coverage():
+    """derive_isect_plan's expansion (dense or split) must produce the
+    same intersection multiset as the plain capped expansion at the
+    plan's K (the policy only changes HOW rows are emitted, never which;
+    measured v5e: split plan cut the 1M tiling stage 50->24 ms)."""
+    import jax.numpy as jnp
+
+    from tdgs.ops.tiling import derive_isect_plan, isect_tiles_packed
+
+    rng = np.random.default_rng(5)
+    N = 512
+    means = rng.normal(size=(N, 3)).astype(np.float32) * 0.5 + [0, 0, 4.0]
+    quats = np.tile([1.0, 0, 0, 0], (N, 1)).astype(np.float32)
+    # heavy-tailed footprints: a few big splats force a split-eligible
+    # histogram
+    scales = np.full((N, 3), 0.01, np.float32)
+    scales[:8] = 0.4
+    opac = np.full((N,), 0.9, np.float32)
+    vm = np.eye(4, dtype=np.float32)
+    K = np.array([[80.0, 0, 32], [0, 80.0, 24], [0, 0, 1]], np.float32)
+    W, H = 64, 48
+    plan = derive_isect_plan(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(vm)[None], jnp.asarray(K)[None],
+        W, H, big_budget=64, dense_factor=0,  # force split when feasible
+    )
+    assert plan["isect_capacity"] >= 4096
+    assert plan["max_tiles_per_gauss"] >= 1
+
+    from tdgs.ops.projection import fully_fused_projection
+
+    radii, means2d, depths, _, _ = fully_fused_projection(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(vm)[None], jnp.asarray(K)[None], W, H,
+        opacities=jnp.asarray(opac),
+    )
+    tw, th = -(-W // 16), -(-H // 16)
+    kw = dict(capacity=plan["isect_capacity"],
+              max_tiles_per_gauss=plan["max_tiles_per_gauss"])
+    ref = isect_tiles_packed(means2d, radii, depths, 16, tw, th, **kw)
+    got = isect_tiles_packed(
+        means2d, radii, depths, 16, tw, th,
+        split_k=plan["isect_split_k"],
+        big_capacity=plan["isect_big_capacity"], **kw,
+    )
+    n = int(ref.n_isects)
+    assert int(got.n_isects) == n
+    # same multiset of (key, id) pairs regardless of emission route
+    ref_pairs = np.sort(
+        np.asarray(ref.isect_keys[:n]).astype(np.int64) * (1 << 32)
+        + np.asarray(ref.flatten_ids[:n])
+    )
+    got_pairs = np.sort(
+        np.asarray(got.isect_keys[:n]).astype(np.int64) * (1 << 32)
+        + np.asarray(got.flatten_ids[:n])
+    )
+    np.testing.assert_array_equal(ref_pairs, got_pairs)
+
+
+def test_derive_isect_plan_small_scene_stays_dense():
+    import jax.numpy as jnp
+
+    from tdgs.ops.tiling import derive_isect_plan
+
+    rng = np.random.default_rng(6)
+    N = 64
+    means = rng.normal(size=(N, 3)).astype(np.float32) * 0.3 + [0, 0, 4.0]
+    quats = np.tile([1.0, 0, 0, 0], (N, 1)).astype(np.float32)
+    scales = np.full((N, 3), 0.02, np.float32)
+    opac = np.full((N,), 0.9, np.float32)
+    vm = np.eye(4, dtype=np.float32)
+    K = np.array([[80.0, 0, 32], [0, 80.0, 24], [0, 0, 1]], np.float32)
+    plan = derive_isect_plan(
+        jnp.asarray(means), jnp.asarray(quats), jnp.asarray(scales),
+        jnp.asarray(opac), jnp.asarray(vm)[None], jnp.asarray(K)[None],
+        64, 48,
+    )
+    assert plan["isect_split_k"] is None
