@@ -112,6 +112,10 @@ def measure(n: int, train: bool, frames: int = 20,
             means, quats, scales, opacities, viewmats, Ks, WIDTH, HEIGHT,
             max_tiles_per_gauss=16,
         )
+        plan.pop("full_isect_demand")
+        if plan.pop("footprint_kmax") > plan["max_tiles_per_gauss"]:
+            print(f"N={n}: footprint kmax exceeds cap — coverage clipped "
+                  f"(n_dropped below is the honest count)", file=sys.stderr)
         kw.update(plan)
         cap = plan["isect_capacity"]
 

@@ -283,10 +283,13 @@ def main():
     bkgd = jnp.full((1, 3), DOMINO_BACKGROUND)
 
     # expansion plan from the trained scene's footprint histogram
-    # (derive_isect_plan): K = the scene's true max tiles-per-gaussian, so
-    # coverage is complete (no banding on big trained splats) without the
-    # exact mode's [G]-row delta scatter; +30% capacity headroom covers
-    # frame-to-frame variation as bodies move (n_dropped stays 0)
+    # (derive_isect_plan); +30% capacity headroom covers frame-to-frame
+    # variation as bodies move. Trained domino scenes carry a few HUGE
+    # ground splats (footprint_kmax into the hundreds of tiles): any
+    # capped plan clips their coverage (first-K-tiles banding — measured
+    # 66 -> 27 dB against the reference chain), so whenever kmax exceeds
+    # the cap we use exact coverage instead (the [G]-row scatter is cheap
+    # at this N; it only dominates past ~500k gaussians)
     from tdgs.ops.tiling import derive_isect_plan
     plan = derive_isect_plan(
         splats["means"], splats["quats"], jnp.exp(splats["scales"]),
@@ -294,8 +297,16 @@ def main():
         jnp.asarray(viewmat)[None], jnp.asarray(K)[None], W, H,
         headroom=1.3, max_tiles_per_gauss=64,
     )
-    isect_cap = plan["isect_capacity"]
     print(f"      isect plan {plan}")
+    full_demand = plan.pop("full_isect_demand")
+    if plan.pop("footprint_kmax") > plan["max_tiles_per_gauss"]:
+        plan = {
+            "isect_capacity": -(-int(full_demand * 1.3) // 4096) * 4096,
+            "isect_exact": True,
+        }
+        print(f"      kmax exceeds cap → exact coverage, "
+              f"capacity {plan['isect_capacity']}")
+    isect_cap = plan["isect_capacity"]
 
     def render_fn(m, q):
         img, alpha, _ = rasterization(
@@ -328,13 +339,15 @@ def main():
     from tdgs.ops.sh import spherical_harmonics
     from tdgs.utils.golden import compose_reference_f64
 
+    # golden frame rendered with the SAME expansion plan the rollout uses
+    # (exact_depth orders entries like the f64 oracle's full-depth sort)
     img_fast, _, gmeta = rasterization(
         splats["means"], splats["quats"], jnp.exp(splats["scales"]),
         jax.nn.sigmoid(splats["opacities"]), sh,
         jnp.asarray(viewmat)[None], jnp.asarray(K)[None],
         W, H, sh_degree=cfg.sh_degree, rasterizer=rasterizer,
-        backgrounds=bkgd, isect_exact=True, isect_exact_depth=True,
-        isect_capacity=isect_cap, tile_capacity=2048,
+        backgrounds=bkgd, isect_exact_depth=True,
+        tile_capacity=2048, **plan,
     )
     campos = -np.asarray(viewmat)[:3, :3].T @ np.asarray(viewmat)[:3, 3]
     dirs = jnp.asarray(np.asarray(splats["means"]) - campos)

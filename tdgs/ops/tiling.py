@@ -605,11 +605,12 @@ def derive_isect_plan(
         kmax = jnp.max(tiles)
         n_big = jnp.stack([jnp.sum(tiles > k) for k in candidates])
         cap_total = jnp.sum(jnp.minimum(tiles, max_tiles_per_gauss))
-        return cap_total, kmax, n_big
+        full_total = jnp.sum(tiles)
+        return cap_total, full_total, kmax, n_big
 
     import numpy as _np
 
-    cap_total, kmax, n_big = jax.tree.map(
+    cap_total, full_total, kmax, n_big = jax.tree.map(
         _np.asarray, stats(means, quats, scales, opacities, viewmats, Ks)
     )
     G = int(means.shape[-2]) * (
@@ -618,11 +619,19 @@ def derive_isect_plan(
     capacity = max(-(-int(int(cap_total) * headroom) // 4096) * 4096, 4096)
     K = int(min(int(kmax), max_tiles_per_gauss))
     K = max(K, 1)
+    # footprint_kmax is diagnostic, NOT a rasterization kwarg: when it
+    # exceeds max_tiles_per_gauss the plan's coverage is CLIPPED (first-K-
+    # tiles banding on the biggest splats) — callers needing full coverage
+    # must pop it and fall back to isect_exact (measured: a 16-domino
+    # trained scene carried splats covering >64 tiles; the clipped plan
+    # dropped the reference-chain golden from 66 to 27 dB)
     plan = {
         "isect_capacity": capacity,
         "max_tiles_per_gauss": K,
         "isect_split_k": None,
         "isect_big_capacity": None,
+        "footprint_kmax": int(kmax),
+        "full_isect_demand": int(full_total),
     }
     # pick split only where it shrinks the sorted row count enough to pay
     # for its compaction overhead (measured ~1.6x breakeven: at 200k dense
