@@ -240,9 +240,12 @@ def resolve_contacts(
         params.max_bias,
     )
 
-    def apply_impulses(state, impulses_n, impulses_t, t_dir):
+    def apply_impulses(state, impulses_n, impulses_t, t_dir,
+                       impulses_t2=None, t2_dir=None):
         """Aggregate all contact impulses into per-body velocity deltas."""
         P = impulses_n[:, None] * n + impulses_t[:, None] * t_dir  # [M, 3]
+        if impulses_t2 is not None:
+            P = P + impulses_t2[:, None] * t2_dir
         dv = jnp.zeros((B + 1, 3))
         dw = jnp.zeros((B + 1, 3))
         dv = dv.at[ib].add(P * inv_m[ib][:, None])
@@ -252,6 +255,21 @@ def resolve_contacts(
         return state._replace(
             v=state.v + dv[:B], w=state.w + dw[:B]
         )
+
+    # loop-invariants hoisted OUT of the Jacobi scan (XLA does not move
+    # code out of while-loop bodies; at 16 bodies the solver is op-count
+    # bound — 8 substeps x 8 iterations of tiny [M] tensors were ~60% of
+    # the rally frame): the tangent frame depends only on the contact
+    # normals, and the friction effective mass as written equals k_n (its
+    # k_term uses the normal-arm cross products).
+    t1 = jnp.cross(n, jnp.array([0.0, 0.0, 1.0]))
+    t1 = jnp.where(
+        jnp.linalg.norm(t1, axis=-1, keepdims=True) < 1e-6,
+        jnp.cross(n, jnp.array([1.0, 0.0, 0.0])),
+        t1,
+    )
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
 
     def iteration(carry, _):
         st, acc_n, acc_t1, acc_t2 = carry
@@ -265,20 +283,9 @@ def resolve_contacts(
         new_acc = jnp.maximum(acc_n + jnp.where(contacts.valid, j_n, 0.0), 0.0)
         d_n = new_acc - acc_n
 
-        # friction: two tangent dirs
-        t1 = jnp.cross(n, jnp.array([0.0, 0.0, 1.0]))
-        t1 = jnp.where(
-            jnp.linalg.norm(t1, axis=-1, keepdims=True) < 1e-6,
-            jnp.cross(n, jnp.array([1.0, 0.0, 0.0])),
-            t1,
-        )
-        t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
-        t2 = jnp.cross(n, t1)
-
         def fr(acc_t, t_dir):
             v_t = jnp.einsum("mi,mi->m", v_rel, t_dir)
-            k_t = k_term(ia, ra) + k_term(ib, rb)
-            j_t = -v_t / jnp.maximum(k_t, 1e-9) * params.relaxation
+            j_t = -v_t / jnp.maximum(k_n, 1e-9) * params.relaxation
             lim = params.friction * new_acc
             new = jnp.clip(acc_t + jnp.where(contacts.valid, j_t, 0.0), -lim, lim)
             return new, new - acc_t
@@ -286,8 +293,10 @@ def resolve_contacts(
         new_t1, d_t1 = fr(acc_t1, t1)
         new_t2, d_t2 = fr(acc_t2, t2)
 
-        st = apply_impulses(st, d_n, d_t1, t1)
-        st = apply_impulses(st, jnp.zeros_like(d_n), d_t2, t2)
+        # one aggregated impulse application: dv/dw are linear in the
+        # total impulse, so normal + both tangents fold into a single
+        # scatter pass (was two apply_impulses calls = 8 scatter-adds)
+        st = apply_impulses(st, d_n, d_t1, t1, d_t2, t2)
         return (st, new_acc, new_t1, new_t2), None
 
     zeros = jnp.zeros((M,))
