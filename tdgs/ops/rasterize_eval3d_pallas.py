@@ -166,6 +166,11 @@ def _fwd_kernel_eval3d_unaligned(
         # runs small-K (3/6) f32 contractions as single bf16 MXU passes
         # (~1% error), and σ* = ½(gg − gr²/rr) cancels ~1e4-magnitude
         # quadratic forms — bf16 there corrupts α entirely (measured).
+        # Round-5 negative result: the bf16x3 three-pass split is ALSO
+        # not enough here — its missing lo·lo term (~4e-6 rel) rides the
+        # 1e4-magnitude forms into ~0.04 σ* error → ~4% alpha error,
+        # failing kernel-vs-jax parity at atol 5e-3. The fwd σ* chain
+        # keeps all six passes.
         return jax.lax.dot_general(
             lhs_rows, rhs_rows,
             dimension_numbers=(((0,), (0,)), ((), ())),
